@@ -1,0 +1,91 @@
+package graft.app
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.constraints.{ResumableValidator, Validator}
+import graft.sequences.SequenceSynth
+
+/** spark-submit entry point: synth | validate | throughput.
+  *
+  * Mirrors the reference's top-level driver (`analyze-json-schema`,
+  * core.clj:57-67): run the suite, print the per-partition verdict
+  * summary "Analyzed N entries. K failed.".
+  */
+object Main {
+
+  def session(appName: String, cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      : SparkSession = {
+    val shufflePartitions = math.max(cpus.toInt * 2, 8)
+    SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  private def argMap(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect { case Array(k, v) if k.startsWith("--") =>
+      k.stripPrefix("--") -> v
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Main (synth|validate|throughput) [--k v]...")
+    val cmd = args.head
+    val opts = argMap(args.tail)
+    val spark = session(s"graft-$cmd")
+    spark.sparkContext.setLogLevel("WARN")
+    try cmd match {
+      case "synth" =>
+        val cfg = SequenceSynth.Config(rows = opts.getOrElse("rows", "100000").toLong)
+        val out = opts.getOrElse("out", "data/sequences")
+        SequenceSynth.write(spark, cfg, out,
+          buckets = opts.getOrElse("buckets", "8").toInt)
+        SequenceSynth.sourcesDim(spark, cfg).write.mode("overwrite")
+          .parquet(s"$out-dim")
+        println(s"Wrote ${cfg.rows} sequences to $out (dim at $out-dim).")
+        println(s"Planted violations: ${SequenceSynth.expectedViolationCounts(cfg)}")
+
+      case "validate" =>
+        val input = opts("input")
+        val dim = spark.read.parquet(opts.getOrElse("dim", s"$input-dim"))
+        val cfg = Validator.SuiteConfig()
+        val t0 = System.nanoTime()
+        val summary = opts.get("state") match {
+          case Some(statePath) =>
+            ResumableValidator.run(spark, input, dim, cfg, statePath)
+          case None =>
+            val df = spark.read.parquet(input)
+            val rep = Validator.validate(spark, df, dim, cfg)
+            ResumableValidator.RunSummary(rep, Nil, Nil,
+              rep.sourceStats.agg(sum("n_rows")).collect()(0).getLong(0))
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        val verdicts = summary.report.verdicts.collect()
+        val failed = verdicts.count(!_.getAs[Boolean]("pass"))
+        println(f"Analyzed ${summary.totalRows} entries. $failed constraint(s) failed.")
+        if (summary.validatedSources.nonEmpty || summary.skippedSources.nonEmpty)
+          println(s"Validated partitions: ${summary.validatedSources.sorted.mkString(",")}" +
+            s" | skipped (checkpointed): ${summary.skippedSources.sorted.mkString(",")}")
+        verdicts.sortBy(r => (r.getAs[String]("source"), r.getAs[String]("check")))
+          .foreach { r =>
+            val mark = if (r.getAs[Boolean]("pass")) "PASS" else "FAIL"
+            println(f"  [$mark] ${r.getAs[String]("source")}%-8s ${r.getAs[String]("check")}%-15s " +
+              s"observed=${r.getAs[String]("observed")} expected=${r.getAs[String]("expected")}")
+          }
+        println(f"throughput: ${summary.totalRows / secs}%.0f validated sequences/sec ($secs%.1f s)")
+
+      case "throughput" =>
+        // bench body lives in graft.BenchScaling; this alias keeps the
+        // spark-submit surface in one place
+        graft.BenchScaling.main(args.tail)
+
+      case other => sys.error(s"unknown command '$other' (want synth|validate|throughput)")
+    } finally spark.stop()
+  }
+}

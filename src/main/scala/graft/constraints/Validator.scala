@@ -1,0 +1,210 @@
+package graft.constraints
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.stats.{Drift, KllSketchAgg}
+
+/** The constraint-validation suite over the tokenized-sequence table —
+  * the scale-out re-expression of the reference's schema-diagnosis
+  * use-case (README.md:86-104: detect truncation/mismatch BEFORE loading,
+  * by comparing observed schema vs declared schema), with the reference's
+  * two reporting channels: per-partition pass/fail verdicts (the
+  * `analyze-json-schema` summary, core.clj:57-67) and violation rows with
+  * identity + reason (the parser's failed-lines channel, parser.clj:9-28).
+  *
+  * Execution shape (designed for 10^12 rows / 1000 executors):
+  *  - ONE full-data scan computes all row-level flags AND per-source stat
+  *    sketches: flags are plain Catalyst expressions (whole-stage codegen),
+  *    the groupBy(source) aggregation is partially aggregated map-side, so
+  *    the only full shuffle ships a handful of sketch rows per input
+  *    partition, never data rows.
+  *  - Violation rows are a filter over the same scan (no extra pass; the
+  *    filter and the agg share the scan via one job each over a cached
+  *    columnar batch or two parquet scans — at scale two scans of pruned
+  *    columns beat caching 100 TB).
+  *  - Global exact uniqueness is the one unavoidable wide shuffle; it
+  *    projects (doc_id, source) only — ~1% of table width — and relies on
+  *    AQE to coalesce/split skewed partitions. A cheap HLL pre-check per
+  *    source allows skipping it when estimated distinct == rows.
+  *  - Referential, drift (PSI/KS over merged KLL sketches), and
+  *    declared-fit verdicts are computed driver-side from the per-source
+  *    sketch table (KBs, independent of data size).
+  */
+object Validator {
+
+  final case class SuiteConfig(
+      vocabSize: Int = 50000,
+      minNtok: Int = 16,
+      maxNtok: Int = 513,
+      kllK: Int = 200,
+      psiThreshold: Double = 0.25,
+      ksThreshold: Double = 0.30,
+      /** run the exact global uniqueness shuffle (vs HLL estimate only) */
+      exactUniqueness: Boolean = true,
+      /** cap violation rows sampled per check (driver/report safety) */
+      violationSampleCap: Int = 10000)
+
+  final case class ValidationReport(
+      verdicts: DataFrame,
+      violations: DataFrame,
+      sourceStats: DataFrame)
+
+  /** Names of the row-level checks, in flag order. */
+  val rowChecks: Seq[String] =
+    Seq("ntok_mismatch", "null_token", "oov_token", "ntok_bounds")
+
+  /** Row-level violation flags as codegen'd Catalyst expressions. */
+  def rowFlags(cfg: SuiteConfig): Seq[(String, Column)] = Seq(
+    "ntok_mismatch" -> (col("n_tok") =!= size(col("tokens"))),
+    "null_token"    -> exists(col("tokens"), t => t.isNull),
+    "oov_token" -> exists(col("tokens"),
+      t => coalesce(t < 0 || t >= cfg.vocabSize, lit(false))),
+    "ntok_bounds" -> (col("n_tok") < cfg.minNtok || col("n_tok") > cfg.maxNtok)
+  )
+
+  /** Violation rows: identity + failed checks, from one pruned scan. */
+  def violations(df: DataFrame, cfg: SuiteConfig): DataFrame = {
+    val flags = rowFlags(cfg)
+    val reasons = array_compact(array(flags.map { case (name, c) =>
+      when(coalesce(c, lit(false)), lit(name)).otherwise(lit(null))
+    }: _*))
+    df.select(col("doc_id"), col("source"), col("n_tok"),
+        size(col("tokens")).as("n_tokens"), reasons.as("checks"))
+      .filter(size(col("checks")) > 0)
+  }
+
+  /** Per-source observed stats + mergeable sketches — the engine's
+    * "observed schema with metadata" (extract-then-merge, core.clj:22-27),
+    * one row per source partition.
+    */
+  def sourceStats(df: DataFrame, cfg: SuiteConfig): DataFrame = {
+    val flags = rowFlags(cfg).toMap
+    df.groupBy(col("source")).agg(
+      count(lit(1)).as("n_rows"),
+      count_if(coalesce(flags("ntok_mismatch"), lit(true))).as("n_ntok_mismatch"),
+      count_if(coalesce(flags("null_token"), lit(false))).as("n_null_token"),
+      count_if(coalesce(flags("oov_token"), lit(false))).as("n_oov_token"),
+      count_if(coalesce(flags("ntok_bounds"), lit(true))).as("n_ntok_bounds"),
+      count_if(col("doc_id").isNull).as("n_null_docid"),
+      min(col("n_tok")).as("min_ntok"),
+      max(col("n_tok")).as("max_ntok"),
+      min(array_min(col("tokens"))).as("min_token"),
+      max(array_max(col("tokens"))).as("max_token"),
+      min(length(col("doc_id"))).as("min_docid_len"),
+      max(length(col("doc_id"))).as("max_docid_len"),
+      approx_count_distinct(col("doc_id")).as("approx_distinct_docid"),
+      hll_sketch_agg(col("doc_id")).as("hll_docid"),
+      KllSketchAgg.kll_sketch(col("n_tok"), cfg.kllK).as("kll_ntok"))
+  }
+
+  /** Exact global duplicate keys: the one wide shuffle, over a two-column
+    * projection. Returns (doc_id, n, sources).
+    */
+  def duplicateKeys(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("source"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), collect_set(col("source")).as("sources"))
+      .filter(col("n") > 1)
+
+  /** Assemble the full report. `stats` must be the (possibly
+    * resume-merged) per-source stats; `dim` is the sources dimension.
+    */
+  def buildVerdicts(
+      spark: SparkSession,
+      stats: Array[Row],
+      dim: Array[Row],
+      dupStats: Option[(Long, Long)], // (n duplicated keys, n extra rows)
+      cfg: SuiteConfig): DataFrame = {
+    import spark.implicits._
+
+    val dimSources = dim.map(_.getAs[String]("source")).toSet
+    val bySource = stats.map(r => r.getAs[String]("source") -> r).toMap
+
+    def vRow(source: String, check: String, pass: Boolean,
+             observed: String, expected: String): (String, String, Boolean, String, String) =
+      (source, check, pass, observed, expected)
+
+    val perSource = stats.flatMap { r =>
+      val s = r.getAs[String]("source")
+      val nRows = r.getAs[Long]("n_rows")
+      def cnt(fld: String) = r.getAs[Long](fld)
+
+      val rowLevel = Seq(
+        ("ntok_mismatch", cnt("n_ntok_mismatch")),
+        ("null_token", cnt("n_null_token")),
+        ("oov_token", cnt("n_oov_token")),
+        ("ntok_bounds", cnt("n_ntok_bounds")),
+        ("null_docid", cnt("n_null_docid"))
+      ).map { case (check, bad) =>
+        vRow(s, check, bad == 0L, s"$bad/$nRows violating rows", "0 violations")
+      }
+
+      val referential = vRow(s, "referential", dimSources.contains(s),
+        s"source '$s' ($nRows rows)", s"source in dim(${dimSources.size})")
+
+      // declared-fit: observed ranges must sit inside declared bounds —
+      // the reference's `wider?` truncation predicate re-expressed over
+      // observed stats (db_types/common.clj:20-115)
+      val fit = {
+        val minT = Option(r.getAs[Integer]("min_token")).map(_.toInt)
+        val maxT = Option(r.getAs[Integer]("max_token")).map(_.toInt)
+        val obs = s"tokens in [${minT.getOrElse("-")},${maxT.getOrElse("-")}]"
+        val pass = maxT.forall(_ < cfg.vocabSize) && minT.forall(_ >= 0)
+        vRow(s, "vocab_fit", pass, obs, s"[0,${cfg.vocabSize})")
+      }
+
+      rowLevel :+ referential :+ fit
+    }
+
+    // drift: each source's n_tok KLL vs the pooled rest. NB: KLL compaction
+    // is internally randomized (datasketches), so the PSI/KS *readouts* may
+    // vary in trailing decimals across runs; the pass/fail decision is what
+    // the engine guarantees stable (thresholds sit far from noise).
+    val drift = {
+      val sketches = stats.map { r =>
+        r.getAs[String]("source") -> r.getAs[Array[Byte]]("kll_ntok")
+      }.sortBy(_._1)
+      sketches.map { case (s, bytes) =>
+        val self = KllSketchAgg.fromBytes(bytes)
+        val rest = KllSketchAgg.mergeBytes(
+          sketches.collect { case (o, b) if o != s => b }, cfg.kllK)
+        val psi = Drift.psi(rest, self)
+        val ks = Drift.ks(rest, self)
+        vRow(s, "ntok_drift", psi <= cfg.psiThreshold && ks <= cfg.ksThreshold,
+          f"PSI=$psi%.4f KS=$ks%.4f",
+          f"PSI<=${cfg.psiThreshold} KS<=${cfg.ksThreshold}")
+      }.toSeq
+    }
+
+    val global = dupStats.toSeq.map { case (nKeys, nExtra) =>
+      vRow("*", "uniqueness", nKeys == 0L,
+        s"$nKeys duplicated doc_ids ($nExtra extra rows)", "all doc_ids unique")
+    }
+
+    (perSource.toSeq ++ drift ++ global)
+      .toDF("source", "check", "pass", "observed", "expected")
+  }
+
+  /** One-shot (non-resumable) validation of an in-memory DataFrame. */
+  def validate(spark: SparkSession, df: DataFrame, dim: DataFrame,
+               cfg: SuiteConfig = SuiteConfig()): ValidationReport = {
+    val stats = sourceStats(df, cfg).collect()
+    val viols = violations(df, cfg)
+    val dups = duplicateKeys(df)
+    val dupAgg =
+      if (cfg.exactUniqueness) {
+        val r = dups.agg(count(lit(1)).as("k"),
+          coalesce(sum(col("n") - 1), lit(0L)).as("extra")).collect()(0)
+        Some((r.getLong(0), r.getLong(1)))
+      } else None
+    val verdicts = buildVerdicts(spark, stats, dim.collect(), dupAgg, cfg)
+    ValidationReport(verdicts, viols, statsToDf(spark, stats))
+  }
+
+  private[constraints] def statsToDf(spark: SparkSession, rows: Array[Row]): DataFrame =
+    if (rows.isEmpty) spark.emptyDataFrame
+    else spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), rows(0).schema)
+}

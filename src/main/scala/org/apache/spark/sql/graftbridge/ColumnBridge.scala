@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> Expression bridge. `ExpressionUtils` is private[sql] in
+  * Spark 4, so this one-file shim lives under the org.apache.spark.sql
+  * package to expose the two conversions the engine's custom aggregates
+  * need (the classic-session equivalent of 3.x's `new Column(expr)`).
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

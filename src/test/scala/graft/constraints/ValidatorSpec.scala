@@ -1,0 +1,66 @@
+package graft.constraints
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.sequences.SequenceSynth
+
+class ValidatorSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  val cfg = SequenceSynth.Config(rows = 20000)
+  val suite = Validator.SuiteConfig(
+    vocabSize = cfg.vocabSize, minNtok = cfg.minNtok, maxNtok = cfg.maxNtok + 1)
+  lazy val df = SequenceSynth.sequences(spark, cfg).cache()
+  lazy val dim = SequenceSynth.sourcesDim(spark, cfg)
+  lazy val report = Validator.validate(spark, df, dim, suite)
+  lazy val verdicts = report.verdicts.collect()
+    .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+  lazy val expected = SequenceSynth.expectedViolationCounts(cfg)
+
+  test("violation rows carry identity + every failed check, with exact totals") {
+    val byCheck = report.violations
+      .select(explode(col("checks")).as("check"))
+      .groupBy("check").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCheck("ntok_mismatch") == expected("ntok_mismatch"))
+    assert(byCheck("null_token") == expected("null_token"))
+    assert(byCheck("oov_token") == expected("oov_token"))
+    assert(!byCheck.contains("ntok_bounds"))
+  }
+
+  test("per-source verdicts fail exactly where violations were planted") {
+    // ghost partition fails referential; real sources pass
+    assert(!verdicts(("ghost", "referential")))
+    assert(verdicts(("web", "referential")))
+    // drift planted on chat only
+    assert(!verdicts(("chat", "ntok_drift")))
+    assert(verdicts(("web", "ntok_drift")))
+    assert(verdicts(("books", "ntok_drift")))
+    // uniqueness is a global verdict
+    assert(!verdicts(("*", "uniqueness")))
+    // oov tokens break the vocab_fit declared-bounds check on big sources
+    assert(!verdicts(("web", "vocab_fit")))
+  }
+
+  test("exact global duplicate detection matches planted ground truth") {
+    val dups = Validator.duplicateKeys(df)
+    assert(dups.count() == expected("uniqueness"))
+    assert(dups.agg(max("n")).collect()(0).getLong(0) == 2L)
+  }
+
+  test("a clean table passes every constraint") {
+    val clean = SequenceSynth.Config(rows = 5000, dupEvery = 0, orphanEvery = 0,
+      ntokMismatchEvery = 0, oovEvery = 0, nullTokEvery = 0, driftSource = None)
+    val rep = Validator.validate(spark,
+      SequenceSynth.sequences(spark, clean),
+      SequenceSynth.sourcesDim(spark, clean),
+      Validator.SuiteConfig(vocabSize = clean.vocabSize,
+        minNtok = clean.minNtok, maxNtok = clean.maxNtok + 1))
+    val vs = rep.verdicts.collect()
+    assert(vs.nonEmpty && vs.forall(_.getBoolean(2)),
+      vs.filterNot(_.getBoolean(2)).mkString("; "))
+    assert(rep.violations.isEmpty)
+  }
+}
