@@ -1,24 +1,73 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.constraints.Validator
+import graft.sequences.SequenceSynth
+
+/** Per-round benchmark: headline queries on SPARK_GRAFT_SF_DIR plus the
+  * full constraint-validation suite's throughput over a synthesized
+  * 1M-row sequences table. Prints ONE JSON line.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", (cpus.toInt * 2).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[A](f: => A): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // warm the JIT/readers once with a tiny query
+    try spark.read.parquet(s"$sfDir/nation.parquet").count()
+    catch { case _: Throwable => }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    Queries.defs.foreach { case (name, d) =>
+      results(name) = time {
+        try d.fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+        }
+      }
+    }
+
+    // validation-suite throughput over 1M synthesized sequences
+    val seqRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1000000").toLong
+    val benchDir = s"target/bench-seqs-$seqRows"
+    val cfg = SequenceSynth.Config(rows = seqRows)
+    val fs = new org.apache.hadoop.fs.Path(benchDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(fs.makeQualified(new org.apache.hadoop.fs.Path(benchDir)))) {
+      SequenceSynth.write(spark, cfg, benchDir, buckets = cpus.toInt)
+      SequenceSynth.sourcesDim(spark, cfg).write.mode("overwrite").parquet(s"$benchDir-dim")
+    }
+    val dim = spark.read.parquet(s"$benchDir-dim")
+    val suiteCfg = Validator.SuiteConfig(vocabSize = cfg.vocabSize,
+      minNtok = cfg.minNtok, maxNtok = cfg.maxNtok + 1)
+    var seqPerSec = 0.0
+    results("suite_validate_1m") = time {
+      val df = spark.read.parquet(benchDir)
+      val rep = Validator.validate(spark, df, dim, suiteCfg)
+      rep.violations.count()
+    }
+    seqPerSec = seqRows / results("suite_validate_1m")
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","seq_per_sec":$seqPerSec%.0f}""")
     spark.stop()
   }
 }

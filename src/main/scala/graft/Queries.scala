@@ -1,0 +1,462 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ingest.JsonSchemaInference
+import graft.ops.{Dedup, Multimodal, SimHash64, Similarity, TextOps}
+import graft.types.{SchemaType, StrictMerge}
+
+/** The engine's query battery over the driver-provided tables: one entry
+  * per operator family from SURVEY.md §2 plus the training-pipeline
+  * operators (dedup, similarity, text analysis, multimodal). Each query
+  * either has an exact DuckDB oracle (column names aligned, deterministic
+  * ORDER BY, exact-friendly types) or is rows-only checked (approximate /
+  * non-SQL-expressible ops).
+  */
+object Queries {
+
+  final case class QueryDef(
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------- queries
+
+  /** Column stats in one scan — the stats half of the validation suite
+    * (reference A2/A8 min-max tracking) over lineitem.
+    */
+  private def q01(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem").agg(
+      count(lit(1)).cast("long").as("cnt"),
+      count_if(col("l_quantity").isNull).cast("long").as("n_null_qty"),
+      min(col("l_quantity")).cast("double").as("min_qty"),
+      max(col("l_quantity")).cast("double").as("max_qty"),
+      min(length(col("l_returnflag"))).cast("long").as("min_rf_len"),
+      max(length(col("l_returnflag"))).cast("long").as("max_rf_len"),
+      countDistinct(col("l_orderkey")).cast("long").as("n_orders"))
+
+  private val q01Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(count(*) FILTER (l_quantity IS NULL) AS BIGINT) AS n_null_qty,
+      |  CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+      |  CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+      |  CAST(min(length(l_returnflag)) AS BIGINT) AS min_rf_len,
+      |  CAST(max(length(l_returnflag)) AS BIGINT) AS max_rf_len,
+      |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      |FROM lineitem""".stripMargin
+
+  /** Grouped aggregation (TPC-H Q1 shape): map-side partial agg + tiny
+    * shuffle; doubles rounded for cross-engine sum-order stability.
+    */
+  private def q02(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).cast("long").as("n"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        round(avg(col("l_discount")), 6).as("avg_disc"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q02Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(l_extendedprice), 2) AS sum_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  round(avg(l_discount), 6) AS avg_disc
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Uniqueness violation detection: exact duplicate keys via hash
+    * aggregate (the suite's global uniqueness check, here on o_custkey
+    * which has planted-like natural duplicates).
+    */
+  private def q03(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("key_val"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .filter(col("n") > 1)
+      .orderBy(col("key_val"))
+
+  private val q03Sql =
+    """SELECT o_custkey AS key_val, CAST(count(*) AS BIGINT) AS n
+      |FROM orders GROUP BY 1 HAVING count(*) > 1 ORDER BY key_val""".stripMargin
+
+  /** Referential integrity via anti-join (broadcast: orders keys fit) —
+    * SURVEY §2.4.
+    */
+  private def q04(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val o = tbl(spark, dir, "orders")
+    val orphans = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+    orphans.agg(count(lit(1)).cast("long").as("n_orphans"))
+      .crossJoin(li.agg(count(lit(1)).cast("long").as("n_child")))
+  }
+
+  private val q04Sql =
+    """SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+      |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |   AS n_orphans,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child""".stripMargin
+
+  /** Row-level consistency predicate (the suite's ntok_mismatch analog):
+    * documents whose n_chars disagrees with length(text).
+    */
+  private def q05(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .agg(count_if(col("n_chars") =!= length(col("text"))).cast("long").as("n_bad"),
+        count(lit(1)).cast("long").as("n_rows"))
+
+  private val q05Sql =
+    """SELECT CAST(count(*) FILTER (n_chars <> length(text)) AS BIGINT) AS n_bad,
+      |  CAST(count(*) AS BIGINT) AS n_rows FROM documents""".stripMargin
+
+  /** String-length stats per group (reference Str min/max length
+    * semantics, types.clj:104-107).
+    */
+  private def q06(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        min(length(col("text"))).cast("long").as("min_len"),
+        max(length(col("text"))).cast("long").as("max_len"),
+        countDistinct(col("source")).cast("long").as("n_sources"))
+      .orderBy(col("lang"))
+
+  private val q06Sql =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(length(text)) AS BIGINT) AS min_len,
+      |  CAST(max(length(text)) AS BIGINT) AS max_len,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Exact deduplication summary (hash-groupBy on content). */
+  private def q07(spark: SparkSession, dir: String): DataFrame = {
+    val groups = Dedup.exactGroups(tbl(spark, dir, "documents"),
+      col("text"), col("doc_id"))
+    groups.agg(
+      count(lit(1)).cast("long").as("n_dup_groups"),
+      coalesce(sum(col("n") - 1), lit(0L)).cast("long").as("n_extra"))
+  }
+
+  private val q07Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
+      |  CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS n_extra
+      |FROM (SELECT text, count(*) AS n FROM documents GROUP BY 1 HAVING count(*) > 1)""".stripMargin
+
+  /** Window top-k per partition (violation sampling shape, SURVEY §2.5). */
+  private def q08(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    tbl(spark, dir, "documents")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("source"), col("doc_id"), col("n_chars"), col("rn"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  private val q08Sql =
+    """SELECT source, doc_id, n_chars, rn FROM (
+      |  SELECT source, doc_id, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn
+      |  FROM documents) WHERE rn <= 3 ORDER BY source, rn""".stripMargin
+
+  /** Exact quantiles per group (the KLL drift check's exact baseline). */
+  private def q09(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(percentile(col("n_chars"), array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+      .select(col("lang"),
+        round(col("qs").getItem(0), 4).as("q25"),
+        round(col("qs").getItem(1), 4).as("q50"),
+        round(col("qs").getItem(2), 4).as("q75"))
+      .orderBy(col("lang"))
+
+  private val q09Sql =
+    """SELECT lang,
+      |  round(quantile_cont(n_chars, 0.25), 4) AS q25,
+      |  round(quantile_cont(n_chars, 0.50), 4) AS q50,
+      |  round(quantile_cont(n_chars, 0.75), 4) AS q75
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Distribution drift: PSI between two languages' n_chars histograms
+    * (fixed-width bins, Laplace-smoothed) — the exact-histogram twin of
+    * the suite's KLL-sketch PSI.
+    */
+  private def q10(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    def binned(lang: String, cn: String) = docs
+      .filter(col("lang") === lang)
+      .groupBy(least(floor(col("n_chars") / 50), lit(12L)).as("bin"))
+      .agg(count(lit(1)).as(cn))
+    val bins = spark.range(0, 13).select(col("id").as("bin"))
+    val joined = bins
+      .join(binned("en", "cnt_a"), Seq("bin"), "left")
+      .join(binned("fr", "cnt_b"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val totals = joined.agg(sum("cnt_a").as("tot_a"), sum("cnt_b").as("tot_b"))
+    joined.crossJoin(totals)
+      .select((((col("cnt_a") + 1) / (col("tot_a") + 13)) -
+        ((col("cnt_b") + 1) / (col("tot_b") + 13))).as("diff"),
+        log(((col("cnt_a") + 1) / (col("tot_a") + 13)) /
+          ((col("cnt_b") + 1) / (col("tot_b") + 13))).as("lr"))
+      .agg(round(sum(col("diff") * col("lr")), 6).as("psi"))
+  }
+
+  private val q10Sql =
+    """WITH bins AS (SELECT unnest(generate_series(0, 12)) AS bin),
+      |a AS (SELECT least(CAST(floor(n_chars / 50) AS BIGINT), 12) AS bin, count(*) AS cnt
+      |      FROM documents WHERE lang = 'en' GROUP BY 1),
+      |b AS (SELECT least(CAST(floor(n_chars / 50) AS BIGINT), 12) AS bin, count(*) AS cnt
+      |      FROM documents WHERE lang = 'fr' GROUP BY 1),
+      |j AS (SELECT bins.bin, coalesce(a.cnt, 0) AS cnt_a, coalesce(b.cnt, 0) AS cnt_b
+      |      FROM bins LEFT JOIN a ON bins.bin = a.bin LEFT JOIN b ON bins.bin = b.bin),
+      |t AS (SELECT sum(cnt_a) AS tot_a, sum(cnt_b) AS tot_b FROM j)
+      |SELECT round(sum(
+      |    (((cnt_a + 1.0) / (tot_a + 13.0)) - ((cnt_b + 1.0) / (tot_b + 13.0))) *
+      |    ln(((cnt_a + 1.0) / (tot_a + 13.0)) / ((cnt_b + 1.0) / (tot_b + 13.0)))
+      |  ), 6) AS psi
+      |FROM j, t""".stripMargin
+
+  /** Token counting (whitespace tokenization) over documents. */
+  private def q11(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents").agg(
+      sum(TextOps.tokenCountWs(col("text"))).cast("long").as("total_tokens"),
+      max(TextOps.tokenCountWs(col("text"))).cast("long").as("max_tokens"),
+      min(TextOps.tokenCountWs(col("text"))).cast("long").as("min_tokens"))
+
+  private val q11Sql =
+    """SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |  CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+      |  CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens
+      |FROM documents""".stripMargin
+
+  /** Text-quality ratios per source (language-independent components). */
+  private def q12(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        round(avg(TextOps.alphaRatio(col("text"))), 6).as("avg_alpha"),
+        round(avg(TextOps.whitespaceRatio(col("text"))), 6).as("avg_ws"),
+        count(lit(1)).cast("long").as("n"))
+      .orderBy(col("source"))
+
+  private val q12Sql =
+    """SELECT source,
+      |  round(avg(CASE WHEN length(text) = 0 THEN 0
+      |    ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) END), 6) AS avg_alpha,
+      |  round(avg(CASE WHEN length(text) = 0 THEN 0
+      |    ELSE length(regexp_replace(text, '[^\s]', '', 'g')) * 1.0 / length(text) END), 6) AS avg_ws,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Stopword-family profile per labeled language (the lang-id features;
+    * the classifier itself is asserted in ScalaTest).
+    */
+  private def q13(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val hits = Seq("en", "es", "fr", "de").map { l =>
+      sum(TextOps.stopwordHits(col("text"), TextOps.stopwords(l)))
+        .cast("long").as(s"hits_$l")
+    }
+    docs.groupBy(col("lang")).agg(hits.head, hits.tail: _*).orderBy(col("lang"))
+  }
+
+  private def duckHits(words: Seq[String]): String = {
+    val pat = words.mkString("\\b(", "|", ")\\b")
+    s"CAST(sum(len(regexp_extract_all(lower(text), '$pat'))) AS BIGINT)"
+  }
+
+  private val q13Sql =
+    s"""SELECT lang,
+       |  ${duckHits(TextOps.stopwords("en"))} AS hits_en,
+       |  ${duckHits(TextOps.stopwords("es"))} AS hits_es,
+       |  ${duckHits(TextOps.stopwords("fr"))} AS hits_fr,
+       |  ${duckHits(TextOps.stopwords("de"))} AS hits_de
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Document fingerprinting: collision-free property oracle — the number
+    * of distinct rolling-hash fingerprints must equal the number of
+    * distinct texts.
+    */
+  private def q14(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .agg(countDistinct(TextOps.fingerprint(col("text"))).cast("long").as("n_distinct"))
+
+  private val q14Sql =
+    "SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_distinct FROM documents"
+
+  /** Brute-force cosine top-k against a fixed query vector (exactness
+    * baseline for ANN). Cosine rounded; vec_id tiebreak keeps order
+    * deterministic across engines.
+    */
+  private def q15(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    Similarity.bruteTopK(emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", query, 10)
+      .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  private val q15Sql =
+    """SELECT vec_id, round(sim, 6) AS cosine FROM (
+      |  SELECT e.vec_id,
+      |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS sim
+      |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      |  WHERE e.vec_id <> 0)
+      |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Time-bucketed event aggregation (streaming-shaped batch query). */
+  private def q16(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events")
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"), col("day"))
+
+  private val q16Sql =
+    """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Join + aggregate: revenue by order priority (broadcast-able dim). */
+  private def q17(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val o = broadcast(tbl(spark, dir, "orders"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_orderkey")).cast("long").as("n_orders"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q17Sql =
+    """SELECT o_orderpriority,
+      |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Multi-hop dimension join rollup (both dims broadcast). */
+  private def q18(spark: SparkSession, dir: String): DataFrame = {
+    val c = tbl(spark, dir, "customer")
+    val n = broadcast(tbl(spark, dir, "nation"))
+    val r = broadcast(tbl(spark, dir, "region"))
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).cast("long").as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+      .orderBy(col("r_name"))
+  }
+
+  private val q18Sql =
+    """SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers,
+      |  round(sum(c_acctbal), 2) AS total_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------- rows-only queries (non-SQL-expressible ops) --
+
+  /** MinHash+LSH near-duplicate candidate mining (rows-only: LSH banding
+    * has no SQL oracle). Self-similarity sanity: pair (d, d+shuffled) would
+    * appear here on corpora with near-dups; on the clean corpus this
+    * reports bucket/candidate counts.
+    */
+  private def q19(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val cands = Dedup.minhashCandidates(docs, "text", "doc_id",
+      shingleK = 3, perms = 32, bands = 8, minJaccard = 0.3)
+    cands.agg(count(lit(1)).cast("long").as("n_candidate_pairs"),
+      coalesce(round(max(col("est_jaccard")), 4), lit(0.0)).as("max_est_jaccard"))
+  }
+
+  /** SimHash signatures + Hamming near-dup candidates (rows-only). */
+  private def q20(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val sigs = docs.select(
+      SimHash64.simhash(TextOps.shingles(col("text"), 3)).as("sig"))
+    sigs.agg(countDistinct(col("sig")).cast("long").as("n_distinct_sigs"),
+      count(lit(1)).cast("long").as("n_docs"))
+  }
+
+  /** Embedding near-duplicates via RHP-LSH blocking (rows-only). */
+  private def q21(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(tbl(spark, dir, "embeddings"),
+        "embedding", "vec_id", threshold = 0.9, planes = 8)
+      .agg(count(lit(1)).cast("long").as("n_near_dup_pairs"))
+
+  /** Distributed JSON schema inference over events.props (the reference's
+    * whole pipeline E1 as a typed Aggregator; rows-only).
+    */
+  private def q22(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val props = tbl(spark, dir, "events").select(col("props").as[String])
+    val res = JsonSchemaInference.infer(props, StrictMerge)
+    Seq((res.render, res.seen, res.failed))
+      .toDF("schema", "n_seen", "n_failed")
+  }
+
+  /** ANN via random-hyperplane LSH bucket probe, reranked exactly
+    * (rows-only: approximate by construction).
+    */
+  private def q23(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    Similarity.lshTopK(emb.filter(col("vec_id") =!= 0), "embedding", "vec_id",
+      query, k = 10, planes = 6)
+      .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Multimodal feature-extraction plumbing over a synthetic binary media
+    * table (decode stubbed; batching/schema real; rows-only).
+    */
+  private def q24(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthMedia(spark, 2000)
+    Multimodal.extractFeatures(media)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        count_if(!col("ok")).cast("long").as("n_corrupt"),
+        round(avg(element_at(col("feature"), 1)), 4).as("avg_f0"))
+      .orderBy(col("kind"))
+  }
+
+  // ----------------------------------------------------------------- table
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q01_colstats"        -> QueryDef(q01, Some(q01Sql)),
+    "q02_agg_pricing"     -> QueryDef(q02, Some(q02Sql)),
+    "q03_dup_keys"        -> QueryDef(q03, Some(q03Sql)),
+    "q04_referential"     -> QueryDef(q04, Some(q04Sql)),
+    "q05_rowcheck"        -> QueryDef(q05, Some(q05Sql)),
+    "q06_strlen_stats"    -> QueryDef(q06, Some(q06Sql)),
+    "q07_dedup_exact"     -> QueryDef(q07, Some(q07Sql)),
+    "q08_topk_window"     -> QueryDef(q08, Some(q08Sql)),
+    "q09_quantiles"       -> QueryDef(q09, Some(q09Sql)),
+    "q10_drift_psi"       -> QueryDef(q10, Some(q10Sql)),
+    "q11_token_count"     -> QueryDef(q11, Some(q11Sql)),
+    "q12_quality_ratios"  -> QueryDef(q12, Some(q12Sql)),
+    "q13_stopword_profile"-> QueryDef(q13, Some(q13Sql)),
+    "q14_fingerprint"     -> QueryDef(q14, Some(q14Sql)),
+    "q15_knn_brute"       -> QueryDef(q15, Some(q15Sql)),
+    "q16_events_daily"    -> QueryDef(q16, Some(q16Sql)),
+    "q17_join_revenue"    -> QueryDef(q17, Some(q17Sql)),
+    "q18_region_rollup"   -> QueryDef(q18, Some(q18Sql)),
+    "q19_minhash_lsh"     -> QueryDef(q19, None),
+    "q20_simhash"         -> QueryDef(q20, None),
+    "q21_embed_neardup"   -> QueryDef(q21, None),
+    "q22_schema_infer"    -> QueryDef(q22, None),
+    "q23_ann_lsh"         -> QueryDef(q23, None),
+    "q24_media_features"  -> QueryDef(q24, None)
+  )
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** MinHash signature as a native Catalyst expression.
+  *
+  * The composed-builtins formulation
+  * `transform(0..perms, p -> array_min(transform(shingles, s -> xxhash64(s, p))))`
+  * is semantically identical but evaluates `perms * n` interpreted
+  * higher-order-function lambdas per row (Spark's HOFs don't participate
+  * in codegen). This expression does one tight JVM loop per row:
+  * for each shingle hash, derive the p-th permutation via a splitmix64
+  * finalizer of (hash ^ seed_p) and min-reduce — ~perms*n integer mixes,
+  * no per-element boxing or expression-tree walks.
+  */
+case class MinHash64(child: Expression, perms: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // golden-gamma odd constants per permutation, fixed at plan time
+  private lazy val seeds: Array[Long] =
+    Array.tabulate(perms)(p => 0x9E3779B97F4A7C15L * (2L * p + 1L))
+
+  @inline private def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(perms)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var p = 0
+        while (p < perms) {
+          val v = mix(h ^ seeds(p))
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "minhash64"
+}
+
+object MinHash64 {
+  /** Column API: minhash signature (array<bigint>, length `perms`) of an
+    * array<bigint> of shingle hashes.
+    */
+  def minhash(shingleHashes: Column, perms: Int = 32): Column =
+    ColumnBridge.column(MinHash64(ColumnBridge.expression(shingleHashes), perms))
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** 64-bit SimHash over an array of feature hashes (e.g. word shingles):
+  * each feature votes on all 64 bit positions; the signature takes the
+  * sign of each vote sum. Near-duplicate documents differ in few bits
+  * (Charikar 2002, public algorithm).
+  *
+  * Implemented as a native Catalyst Expression (not a Scala UDF): null
+  * handling and input traversal stay inside the expression, and it
+  * composes with whole-stage-codegen'd neighbors (itself evaluated via
+  * CodegenFallback — a single virtual call per row, no row-to-Scala
+  * conversion of the array).
+  */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64 {
+  /** Column API: simhash of an array<bigint> of feature hashes. */
+  def simhash(features: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(features)))
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.bit_count(
+      a.bitwiseXOR(b))
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: one scan, codegen'd zip_with/aggregate dot
+  *    product, TakeOrderedAndProject (never a full sort) — the exactness
+  *    baseline;
+  *  - random-hyperplane LSH buckets: deterministic signature from a seeded
+  *    hyperplane set; candidates share a bucket, reranked exactly. The
+  *    scale path: the bucket join touches ~1/2^planes of the pairs.
+  */
+object Similarity {
+
+  /** dot(a, b) over array columns, in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is a
+    * signed unit from xxhash64(seed, p, j). The signature packs the sign
+    * bits of the `planes` dot products into one long — equal signatures =
+    * same LSH bucket (cosine-LSH, Charikar 2002).
+    */
+  def rhpSignature(vec: Column, planes: Int, seed: Long): Column = {
+    val bits = (0 until planes).map { p =>
+      // dot(v, h_p) where h_p(j) in {-1,+1} derived from a hash of (seed,p,j)
+      val dotP = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x.cast("double") *
+            when(pmod(xxhash64(lit(seed), lit(p), j), lit(2)) === 0, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Exact brute-force top-k cosine neighbors of one query vector.
+    * The orderBy+limit plans as TakeOrderedAndProject: per-partition
+    * heaps, no global sort.
+    */
+  def bruteTopK(df: DataFrame, vecCol: String, idCol: String,
+                query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    df.select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** ANN top-k: probe only vectors sharing the query's LSH bucket (or any
+    * bucket within `multiProbe` flipped bits), rerank exactly. Falls back
+    * to nothing found -> caller widens probes. Returns the same schema as
+    * [[bruteTopK]].
+    */
+  def lshTopK(df: DataFrame, vecCol: String, idCol: String,
+              query: Seq[Float], k: Int, planes: Int = 12,
+              seed: Long = 7L): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    val bucketed = df.withColumn("__sig", rhpSignature(col(vecCol), planes, seed))
+    val querySig = bucketed.sparkSession.range(1)
+      .select(rhpSignature(q, planes, seed).as("qsig"))
+    bucketed.join(broadcast(querySig), col("__sig") === col("qsig"))
+      .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs top-k per id via LSH buckets (batch kNN for near-dup
+    * mining): returns (id, neighbor_id, cosine) with rank <= k within
+    * each bucket-restricted candidate set.
+    */
+  def bucketedKnn(df: DataFrame, vecCol: String, idCol: String,
+                  k: Int, planes: Int = 10, seed: Long = 7L): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig", rhpSignature(col("v"), planes, seed))
+    val l = sigs.alias("l"); val r = sigs.alias("r")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    l.join(r, col("l.sig") === col("r.sig") && col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("id"), col("r.id").as("neighbor_id"),
+        cosine(col("l.v"), col("r.v")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  // small corpus with planted exact + near duplicates
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+  lazy val corpus = Seq(
+    (0L, base),
+    (1L, base),                                        // exact dup of 0
+    (2L, base.replace("lazy", "sleepy")),              // near dup of 0
+    (3L, "el perro grande de la casa que corre en los campos verdes todo el dia"),
+    (4L, "le chat noir est dans les jardins des maisons et une souris est la"),
+    (5L, "der hund und die katze sind das beste was es gibt und der rest ist egal"),
+    (6L, "completely different content about spark query engines and column stores here"),
+    (7L, "the cat and the dog of the house is to be found and the rest is to go")
+  ).toDF("id", "text")
+
+  test("exact dedup finds the planted duplicate group") {
+    val groups = Dedup.exactGroups(corpus, col("text"), col("id")).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("n") == 2)
+    assert(groups(0).getAs[Long]("keep_id") == 0L)
+    val kept = Dedup.dropExactDuplicates(corpus, "text", "id")
+    assert(kept.count() == 7)
+    assert(kept.filter(col("id") === 1).isEmpty)
+  }
+
+  test("minhash LSH surfaces the near-duplicate pair and not unrelated docs") {
+    val cands = Dedup.minhashCandidates(corpus, "text", "id", minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cands.contains((0L, 1L)), s"exact pair missing: $cands")
+    assert(cands((0L, 1L)) == 1.0)
+    assert(cands.contains((0L, 2L)) || cands.contains((1L, 2L)),
+      s"near pair missing: $cands")
+    assert(!cands.keys.exists { case (a, b) => Set(a, b).contains(6L) },
+      s"unrelated doc joined a pair: $cands")
+  }
+
+  test("ngram Jaccard rerank: exact dup = 1.0, near dup high, reranks candidates") {
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 6L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(corpus, pairs, "text", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 1L)) == 1.0)
+    assert(j((0L, 2L)) > 0.5)
+    assert(j((0L, 6L)) < 0.1)
+  }
+
+  test("simhash: near dups within few bits, unrelated docs far") {
+    val sigs = corpus.select(col("id"),
+      SimHash64.simhash(TextOps.shingles(col("text"), 3)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(1L)) == 0)
+    assert(ham(sigs(0L), sigs(2L)) <= 16)
+    assert(ham(sigs(0L), sigs(6L)) > 16)
+  }
+
+  test("language ID classifies stopword-bearing text deterministically") {
+    val preds = corpus.select(col("id"), TextOps.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(0L) == "en")
+    assert(preds(3L) == "es")
+    assert(preds(4L) == "fr")
+    assert(preds(5L) == "de")
+    val zh = Seq((9L, "中文文本处理")).toDF("id", "text")
+      .select(TextOps.langId(col("text"))).collect()(0).getString(0)
+    assert(zh == "zh")
+  }
+
+  test("brute-force top-k is exact and LSH top-k returns a subset consistent with it") {
+    val vecs = (0 until 50).map { i =>
+      val angle = i * 0.12
+      (i.toLong, Seq(math.cos(angle).toFloat, math.sin(angle).toFloat, 0.1f, 0.2f))
+    }.toDF("vec_id", "embedding")
+    val query = Seq(1.0f, 0.05f, 0.1f, 0.2f)
+    val brute = Similarity.bruteTopK(vecs, "embedding", "vec_id", query, 5)
+      .collect().map(_.getLong(0))
+    assert(brute.length == 5)
+    // cosine of vec 0 (angle 0) with query is near max; ordering deterministic
+    assert(brute.contains(0L))
+    val lsh = Similarity.lshTopK(vecs, "embedding", "vec_id", query, 5, planes = 4)
+      .collect().map(_.getLong(0))
+    // every LSH hit must be a genuine vector, ranked by true cosine
+    assert(lsh.toSet.subsetOf(vecs.collect().map(_.getLong(0)).toSet))
+  }
+
+  test("multimodal plumbing: deterministic features, corrupt channel, batch-shape invariance") {
+    val media = Multimodal.synthMedia(spark, 500)
+    val a = Multimodal.extractFeatures(media, batchSize = 64).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val b = Multimodal.extractFeatures(media, batchSize = 7).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(a.size == 500 && b.size == 500)
+    // batch size must not change any output
+    a.foreach { case (id, row) =>
+      val other = b(id)
+      assert(row.getBoolean(3) == other.getBoolean(3))
+      assert(row.getInt(2) == other.getInt(2))
+      val (fa, fb) = (row.get(4), other.get(4))
+      assert((fa == null) == (fb == null))
+      if (fa != null)
+        assert(fa.asInstanceOf[scala.collection.Seq[Float]].toList ==
+          fb.asInstanceOf[scala.collection.Seq[Float]].toList, s"id=$id")
+    }
+    val corrupt = a.values.filterNot(_.getBoolean(3))
+    assert(corrupt.nonEmpty && corrupt.forall(r => r.isNullAt(4)))
+  }
+
+  test("token counts and ratios agree with simple definitions") {
+    val df = Seq(("a bb ccc", 1)).toDF("text", "x")
+    val r = df.select(
+      TextOps.tokenCountWs(col("text")).as("ws"),
+      TextOps.tokenCountBpeIsh(col("text")).as("bpe"),
+      TextOps.alphaRatio(col("text")).as("alpha")).collect()(0)
+    assert(r.getInt(0) == 3)
+    assert(r.getInt(1) == 3)
+    assert(math.abs(r.getDouble(2) - 6.0 / 8.0) < 1e-9)
+  }
+}
