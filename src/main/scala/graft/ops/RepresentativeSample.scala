@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.json.JsonParser
+import graft.types._
+
+/** Representative example-set selection (reference example_data.clj:36-92):
+  * given a target schema (field -> type or union-of-types), pick a minimal
+  * set of rows such that every (property, type-branch) pair of the schema
+  * is exhibited by at least one selected row.
+  *
+  * The reference streams rows single-threaded with early stopping; the
+  * Spark formulation explodes each row's exhibited (property, kind) pairs
+  * and keeps the first row per pair (min row id) — one shuffle over
+  * (pair, id), output size <= #pairs. Early-stop economy is preserved in
+  * spirit by the aggregation's map-side partial min.
+  */
+object RepresentativeSample {
+
+  /** The (property, type-kind) coverage targets of a schema
+    * (schema->prop=>type=>seen, example_data.clj:71-78).
+    */
+  def coverageTargets(schema: DocT): Set[(String, String)] =
+    schema.fields.flatMap {
+      case (prop, UnionT(ts)) => ts.map(t => prop -> t.kind.name)
+      case (prop, t)          => Seq(prop -> t.kind.name)
+    }.toSet
+
+  /** Exhibited pairs of one record's extracted type. */
+  def exhibitedPairs(recordType: DocT): Seq[(String, String)] =
+    recordType.fields.toSeq.map { case (p, t) => (p, t.kind.name) }
+
+  /** Select representative JSON lines: returns (line, coveredPairs) rows,
+    * one line per covered (property, kind) pair (first by line order).
+    */
+  def fromJsonLines(lines: Dataset[String],
+                    schema: DocT,
+                    dateFormats: Seq[String] = Nil): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val targets = coverageTargets(schema)
+    val targetB = spark.sparkContext.broadcast(targets)
+
+    val pairs = lines.rdd.zipWithIndex().flatMap { case (line, idx) =>
+      JsonParser.parseJsonLine(line).toOption.toSeq.flatMap { obj =>
+        val t = new TypeExtractor(StrictMerge, dateFormats).extract(obj)
+        t match {
+          case d: DocT =>
+            exhibitedPairs(d).filter(targetB.value.contains)
+              .map { case (p, k) => (p, k, idx, line) }
+          case _ => Nil
+        }
+      }
+    }.toDF("property", "kind", "row_idx", "line")
+
+    // first exhibiting row per pair
+    pairs.groupBy($"property", $"kind")
+      .agg(min(struct($"row_idx", $"line")).as("first"))
+      .select($"property", $"kind",
+        $"first.row_idx".as("row_idx"), $"first.line".as("line"))
+  }
+
+  /** Driver summary: does a corpus cover every pair of the schema, and
+    * which rows form the minimal representative set?
+    */
+  def representativeSet(lines: Dataset[String], schema: DocT,
+                        dateFormats: Seq[String] = Nil): (Seq[String], Set[(String, String)]) = {
+    val picked = fromJsonLines(lines, schema, dateFormats).collect()
+    val covered = picked.map(r => (r.getString(0), r.getString(1))).toSet
+    val missing = coverageTargets(schema) -- covered
+    (picked.map(_.getAs[String]("line")).distinct.toSeq, missing)
+  }
+}
