@@ -32,6 +32,9 @@ object BenchScaling {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // enough input splits that the HIGH parallelism level can saturate:
+      // default 128MB over a few GB caps the scan at ~20 tasks
+      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -55,8 +58,9 @@ object BenchScaling {
       println(s"""{"run":$i,"cpus":$cpus,"rows":$rows,"sec":$secs,"seq_per_sec":$tput,"violations":$nViol}""")
       secs
     }
-    // discard the first (JIT warm-up), report median of the rest
-    val steady = times.drop(1).sorted
+    // discard warm-up runs (cold page cache + JIT), report median of the rest
+    val warmups = math.min(2, times.length - 1)
+    val steady = times.drop(warmups).sorted
     val med = steady(steady.length / 2)
     println(s"""{"metric":"validated_sequences_per_sec","cpus":$cpus,"rows":$rows,"median_sec":$med,"value":${rows / med}}""")
     spark.stop()

@@ -55,12 +55,20 @@ object Validator {
   val rowChecks: Seq[String] =
     Seq("ntok_mismatch", "null_token", "oov_token", "ntok_bounds")
 
-  /** Row-level violation flags as codegen'd Catalyst expressions. */
+  /** Token-array statistics in ONE native pass per row (size, null count,
+    * min, max) — replaces five interpreted higher-order-function walks of
+    * the array; see [[graft.sequences.TokenStats]].
+    */
+  private def withTokenStats(df: DataFrame): DataFrame =
+    df.withColumn("__ts",
+      graft.sequences.TokenStats.token_stats(col("tokens")))
+
+  /** Row-level violation flags over the precomputed token stats. */
   def rowFlags(cfg: SuiteConfig): Seq[(String, Column)] = Seq(
-    "ntok_mismatch" -> (col("n_tok") =!= size(col("tokens"))),
-    "null_token"    -> exists(col("tokens"), t => t.isNull),
-    "oov_token" -> exists(col("tokens"),
-      t => coalesce(t < 0 || t >= cfg.vocabSize, lit(false))),
+    "ntok_mismatch" -> (col("n_tok") =!= col("__ts.n")),
+    "null_token"    -> (col("__ts.n_null") > 0),
+    "oov_token" -> coalesce(
+      col("__ts.min") < 0 || col("__ts.max") >= cfg.vocabSize, lit(false)),
     "ntok_bounds" -> (col("n_tok") < cfg.minNtok || col("n_tok") > cfg.maxNtok)
   )
 
@@ -70,8 +78,9 @@ object Validator {
     val reasons = array_compact(array(flags.map { case (name, c) =>
       when(coalesce(c, lit(false)), lit(name)).otherwise(lit(null))
     }: _*))
-    df.select(col("doc_id"), col("source"), col("n_tok"),
-        size(col("tokens")).as("n_tokens"), reasons.as("checks"))
+    withTokenStats(df)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("__ts.n").as("n_tokens"), reasons.as("checks"))
       .filter(size(col("checks")) > 0)
   }
 
@@ -81,7 +90,7 @@ object Validator {
     */
   def sourceStats(df: DataFrame, cfg: SuiteConfig): DataFrame = {
     val flags = rowFlags(cfg).toMap
-    df.groupBy(col("source")).agg(
+    withTokenStats(df).groupBy(col("source")).agg(
       count(lit(1)).as("n_rows"),
       count_if(coalesce(flags("ntok_mismatch"), lit(true))).as("n_ntok_mismatch"),
       count_if(coalesce(flags("null_token"), lit(false))).as("n_null_token"),
@@ -90,8 +99,8 @@ object Validator {
       count_if(col("doc_id").isNull).as("n_null_docid"),
       min(col("n_tok")).as("min_ntok"),
       max(col("n_tok")).as("max_ntok"),
-      min(array_min(col("tokens"))).as("min_token"),
-      max(array_max(col("tokens"))).as("max_token"),
+      min(col("__ts.min")).as("min_token"),
+      max(col("__ts.max")).as("max_token"),
       min(length(col("doc_id"))).as("min_docid_len"),
       max(length(col("doc_id"))).as("max_docid_len"),
       approx_count_distinct(col("doc_id")).as("approx_distinct_docid"),

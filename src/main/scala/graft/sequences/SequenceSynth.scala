@@ -83,10 +83,10 @@ object SequenceSynth {
     val docId = format_string("doc%014d", effectiveId)
 
     // --- tokens: per-position hash in [0, vocab); planted anomalies -------
-    // token(i) = xxhash64(id, seed, 7, i) mod vocab
-    val baseTokens = transform(
-      sequence(lit(1), col("n_tok_true")),
-      i => pmod(xxhash64(id, lit(cfg.seed), lit(7), i), lit(cfg.vocabSize)).cast("int"))
+    // token(i) = xxhash64(id, seed, 7, i) mod vocab — computed by the
+    // native GenTokens expression (bit-identical to the transform/xxhash64
+    // composition, ~10x faster than per-element interpreted lambdas)
+    val baseTokens = GenTokens.gen_tokens(id, col("n_tok_true"), cfg.seed, cfg.vocabSize)
     val withOov =
       if (cfg.oovEvery > 0)
         when(pmod(id, lit(cfg.oovEvery)) === 11L,

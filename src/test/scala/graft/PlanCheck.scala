@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.constraints.Validator
+import graft.sequences.SequenceSynth
+
+/** Plan-quality inspector: prints formatted physical plans of the engine's
+  * hot paths so scan pruning / partial aggregation / codegen spans can be
+  * reviewed. Not a test — a tool (`sbt "Test/runMain graft.PlanCheck"`).
+  */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SharedSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("plan").toString
+    val cfg = SequenceSynth.Config(rows = 10000)
+    SequenceSynth.write(spark, cfg, s"$dir/seqs", buckets = 2)
+    val df = spark.read.parquet(s"$dir/seqs")
+    val suite = Validator.SuiteConfig()
+
+    println("==== sourceStats ====")
+    Validator.sourceStats(df, suite).explain("formatted")
+    println("==== violations ====")
+    Validator.violations(df, suite).explain("formatted")
+    println("==== duplicateKeys ====")
+    Validator.duplicateKeys(df).explain("formatted")
+    println("==== q17 join (broadcast?) ====")
+    Queries.defs.toMap.apply("q17_join_revenue").fn(spark, "/root/testdata/sf0.001")
+      .explain("formatted")
+    println("==== q02 agg pricing ====")
+    Queries.defs.toMap.apply("q02_agg_pricing").fn(spark, "/root/testdata/sf0.001")
+      .explain("formatted")
+    println("==== partition-pruned scan (resume path) ====")
+    df.filter(col("source").isin("web", "books")).groupBy("source").count()
+      .explain("formatted")
+    spark.stop()
+  }
+}
