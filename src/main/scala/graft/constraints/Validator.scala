@@ -44,7 +44,16 @@ object Validator {
       /** run the exact global uniqueness shuffle (vs HLL estimate only) */
       exactUniqueness: Boolean = true,
       /** cap violation rows sampled per check (driver/report safety) */
-      violationSampleCap: Int = 10000)
+      violationSampleCap: Int = 10000,
+      /** declared column DDL (reference db_types side door): observed
+        * stats are checked against these capacities with the `wider?`
+        * truncation predicate (db_types/common.clj:20-115)
+        */
+      declaredDdl: Map[String, String] = Map(
+        "doc_id" -> "varchar(32)",
+        "n_tok" -> "int",
+        "tokens_element" -> "int"),
+      ddlDialect: graft.dbtypes.DbTypeTranslator = graft.dbtypes.MySqlTranslator)
 
   final case class ValidationReport(
       verdicts: DataFrame,
@@ -117,6 +126,23 @@ object Validator {
       .agg(count(lit(1)).as("n"), collect_set(col("source")).as("sources"))
       .filter(col("n") > 1)
 
+  /** Salted two-phase exact duplicate counting for HOT keys: when a single
+    * doc_id may repeat millions of times, a plain groupBy(doc_id) puts one
+    * reducer behind the hot key. Phase 1 counts per (doc_id, salt) where
+    * salt = partition id (deterministic, no data movement semantics), so
+    * the hot key is spread over `saltBuckets` reducers; phase 2 sums the
+    * per-salt partials — its input has at most saltBuckets rows per key.
+    * Returns (doc_id, n) for keys with n > 1.
+    */
+  def duplicateKeysSalted(df: DataFrame, saltBuckets: Int = 64): DataFrame =
+    df.select(col("doc_id"),
+        pmod(spark_partition_id(), lit(saltBuckets)).as("__salt"))
+      .groupBy(col("doc_id"), col("__salt"))
+      .agg(count(lit(1)).as("pn"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("pn")).as("n"))
+      .filter(col("n") > 1)
+
   /** Assemble the full report. `stats` must be the (possibly
     * resume-merged) per-source stats; `dim` is the sources dimension.
     */
@@ -164,7 +190,40 @@ object Validator {
         vRow(s, "vocab_fit", pass, obs, s"[0,${cfg.vocabSize})")
       }
 
-      rowLevel :+ referential :+ fit
+      // observed-vs-declared truncation risk: the reference's README
+      // use-case (README.md:86-104), evaluated from stats alone
+      val declaredFit = {
+        import graft.types.{IntT, StrT}
+        def observed(colName: String): Option[graft.types.SchemaType] = colName match {
+          case "doc_id" =>
+            for {
+              mn <- Option(r.getAs[Integer]("min_docid_len"))
+              mx <- Option(r.getAs[Integer]("max_docid_len"))
+            } yield StrT(mn.toLong, mx.toLong)
+          case "n_tok" =>
+            for {
+              mn <- Option(r.getAs[Integer]("min_ntok"))
+              mx <- Option(r.getAs[Integer]("max_ntok"))
+            } yield IntT(BigInt(mn.toInt), BigInt(mx.toInt))
+          case "tokens_element" =>
+            for {
+              mn <- Option(r.getAs[Integer]("min_token"))
+              mx <- Option(r.getAs[Integer]("max_token"))
+            } yield IntT(BigInt(mn.toInt), BigInt(mx.toInt))
+          case _ => None
+        }
+        cfg.declaredDdl.toSeq.sortBy(_._1).flatMap { case (colName, ddl) =>
+          observed(colName).map { obs =>
+            val declared = cfg.ddlDialect.colTypeToSchemaType(ddl)
+            val pass = graft.dbtypes.Wider.eqWidthOrNarrower(obs, declared)
+            vRow(s, s"declared_fit_$colName", pass,
+              graft.types.SchemaType.render(obs),
+              s"fits $ddl (${graft.types.SchemaType.render(declared)})")
+          }
+        }
+      }
+
+      rowLevel ++ declaredFit :+ referential :+ fit
     }
 
     // drift: each source's n_tok KLL vs the pooled rest. NB: KLL compaction

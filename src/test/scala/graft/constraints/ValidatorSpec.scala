@@ -50,6 +50,29 @@ class ValidatorSpec extends AnyFunSuite {
     assert(dups.agg(max("n")).collect()(0).getLong(0) == 2L)
   }
 
+  test("salted two-phase duplicate counting agrees with the direct groupBy") {
+    val direct = Validator.duplicateKeys(df)
+      .select(col("doc_id"), col("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Validator.duplicateKeysSalted(df, saltBuckets = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+  }
+
+  test("declared-fit (wider?) verdicts: defaults pass, tight DDL fails") {
+    assert(verdicts(("web", "declared_fit_doc_id")))
+    assert(verdicts(("web", "declared_fit_n_tok")))
+    assert(verdicts(("web", "declared_fit_tokens_element")))
+    val tight = suite.copy(declaredDdl = Map(
+      "doc_id" -> "varchar(8)",       // doc ids are 17 chars -> truncation
+      "n_tok" -> "smallint"))         // fits
+    val rep = Validator.validate(spark, df, dim, tight)
+    val vs = rep.verdicts.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(!vs(("web", "declared_fit_doc_id")))
+    assert(vs(("web", "declared_fit_n_tok")))
+  }
+
   test("a clean table passes every constraint") {
     val clean = SequenceSynth.Config(rows = 5000, dupEvery = 0, orphanEvery = 0,
       ntokMismatchEvery = 0, oovEvery = 0, nullTokEvery = 0, driftSource = None)
