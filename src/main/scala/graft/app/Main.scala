@@ -85,7 +85,21 @@ object Main {
         // spark-submit surface in one place
         graft.BenchScaling.main(args.tail)
 
-      case other => sys.error(s"unknown command '$other' (want synth|validate|throughput)")
+      case "infer" =>
+        // distributed analyze-json-schema (reference core.clj:57-67) over
+        // JSONL files/globs
+        val policy: graft.types.MergePolicy =
+          if (opts.getOrElse("analysis", "comprehensive") == "simple")
+            graft.types.SimplifyMerge else graft.types.StrictMerge
+        val dateFormats = opts.get("date-format").toSeq
+        val res = graft.ingest.JsonSchemaInference.inferFiles(
+          spark, opts("input").split(",").toSeq, policy, dateFormats)
+        println(s"Analyzed ${res.seen} entries. ${res.failed} failed.")
+        println(res.render)
+        res.schema.filter(_ => opts.get("export").contains("avro"))
+          .foreach(s => println(graft.export.AvroExport.toAvro(s)))
+
+      case other => sys.error(s"unknown command '$other' (want synth|validate|throughput|infer)")
     } finally spark.stop()
   }
 }

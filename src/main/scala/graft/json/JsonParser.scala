@@ -121,3 +121,25 @@ object JsonParser {
       case e: JsonProcessingException => Left(e.getOriginalMessage)
     }
 }
+
+/** Compact JSON rendering of a JValue (for example binning / reports). */
+object JsonRender {
+  def compact(v: JValue): String = v match {
+    case JNull => "null"
+    case JBool(b) => b.toString
+    case JInt(i) => i.toString
+    case JReal(d) => d.toString
+    case JStr(s) => "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    case JArr(items) => items.map(compact).mkString("[", ",", "]")
+    case JObj(fields) =>
+      fields.toSeq.sortBy(_._1)
+        .map { case (k, fv) => compact(JStr(k)) + ":" + compact(fv) }
+        .mkString("{", ",", "}")
+  }
+}

@@ -72,4 +72,28 @@ object RepresentativeSample {
     val missing = coverageTargets(schema) -- covered
     (picked.map(_.getAs[String]("line")).distinct.toSeq, missing)
   }
+
+  /** Binned example values per property (reference
+    * example_data.clj:94-115 `make-binned-example-acc`): for each
+    * top-level property, the set of distinct example values observed,
+    * capped per property. Distributed: explode properties, distinct, cap
+    * via per-property row_number.
+    */
+  def binnedExamples(lines: Dataset[String], maxPerProperty: Int = 20): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val pairs = lines.flatMap { line =>
+      JsonParser.parseJsonLine(line).toOption.toSeq.flatMap { obj =>
+        obj.fields.map { case (k, v) =>
+          (k, graft.json.JsonRender.compact(v))
+        }
+      }
+    }.toDF("property", "value").dropDuplicates("property", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"property").orderBy($"value")
+    pairs.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= maxPerProperty)
+      .groupBy($"property")
+      .agg(sort_array(collect_list($"value")).as("examples"))
+  }
 }

@@ -67,4 +67,13 @@ class IngestSpec extends AnyFunSuite {
     assert(selected.size <= 3)
     assert(!selected.contains("""{"a": 2, "b": "z"}"""))
   }
+
+  test("binned examples collect capped distinct values per property (example_data.clj:94-115)") {
+    import spark.implicits._
+    val lines = (1 to 30).map(i => s"""{"a": ${i % 5}, "b": "x"}""")
+    val binned = RepresentativeSample.binnedExamples(lines.toDS, maxPerProperty = 3)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(binned("a").length == 3)  // capped from 5 distinct
+    assert(binned("b") == Seq("\"x\""))
+  }
 }
