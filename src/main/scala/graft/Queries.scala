@@ -365,6 +365,137 @@ object Queries {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** ROLLUP aggregation (grouping-sets machinery the reference lacks,
+    * SURVEY §2.3 "absent"): per (returnflag, linestatus) + subtotals +
+    * grand total.
+    */
+  private def q25(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("rf"), col("ls"))
+
+  private val q25Sql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  /** Semi-join (EXISTS) + anti-join (NOT EXISTS) counts in one result. */
+  private def q26(spark: SparkSession, dir: String): DataFrame = {
+    val c = tbl(spark, dir, "customer")
+    val o = tbl(spark, dir, "orders")
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+    val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+    withOrders.agg(count(lit(1)).cast("long").as("n_with_orders"))
+      .crossJoin(withoutOrders.agg(count(lit(1)).cast("long").as("n_without_orders")))
+  }
+
+  private val q26Sql =
+    """SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM customer c
+      |     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+      |   AS n_with_orders,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM customer c
+      |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+      |   AS n_without_orders""".stripMargin
+
+  /** Batch sessionization via window functions (gap > 30 min starts a new
+    * session): sessions per user, avg events per session. The streaming
+    * twin is EventStream.sessionize.
+    */
+  private def q27(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val withGap = tbl(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    withGap.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"),
+        max(col("n_events")).cast("long").as("max_session_events"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q27Sql =
+    """WITH gaps AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sessions AS (
+      |  SELECT user_id,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM gaps),
+      |per_session AS (
+      |  SELECT user_id, session_id, count(*) AS n_events
+      |  FROM sessions GROUP BY 1, 2)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+      |  CAST(max(n_events) AS BIGINT) AS max_session_events
+      |FROM per_session GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Semi-structured JSON column (events.props): parse + extract + agg.
+    * (Spark-side via get_json_object — the Variant runtime path is
+    * exercised in rows-only q22's full inference.)
+    */
+  private def q28(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        count_if(col("k").isNull).cast("long").as("n_missing"),
+        min(col("k")).cast("long").as("min_k"),
+        max(col("k")).cast("long").as("max_k"),
+        countDistinct(col("k")).cast("long").as("n_distinct_k"))
+
+  private val q28Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(*) FILTER (json_extract(props, '$.k') IS NULL) AS BIGINT) AS n_missing,
+      |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+      |  CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k
+      |FROM events""".stripMargin
+
+  /** Set operations: event types seen before vs after a cutoff date. */
+  private def q29(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+    val cutoff = "2024-01-15"
+    val before = ev.filter(col("ts") < lit(cutoff)).select(col("event_type")).distinct()
+    val after = ev.filter(col("ts") >= lit(cutoff)).select(col("event_type")).distinct()
+    before.intersect(after).agg(count(lit(1)).cast("long").as("n_both"))
+      .crossJoin(before.exceptAll(after).agg(count(lit(1)).cast("long").as("n_only_before")))
+      .crossJoin(before.union(after).distinct()
+        .agg(count(lit(1)).cast("long").as("n_union")))
+  }
+
+  private val q29Sql =
+    """SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM
+      |    (SELECT DISTINCT event_type FROM events WHERE ts < '2024-01-15'
+      |     INTERSECT
+      |     SELECT DISTINCT event_type FROM events WHERE ts >= '2024-01-15')) AS n_both,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM
+      |    (SELECT DISTINCT event_type FROM events WHERE ts < '2024-01-15'
+      |     EXCEPT
+      |     SELECT DISTINCT event_type FROM events WHERE ts >= '2024-01-15')) AS n_only_before,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM
+      |    (SELECT DISTINCT event_type FROM events WHERE ts < '2024-01-15'
+      |     UNION
+      |     SELECT DISTINCT event_type FROM events WHERE ts >= '2024-01-15')) AS n_union""".stripMargin
+
   // ------------------------- rows-only queries (non-SQL-expressible ops) --
 
   /** MinHash+LSH near-duplicate candidate mining (rows-only: LSH banding
@@ -452,6 +583,11 @@ object Queries {
     "q16_events_daily"    -> QueryDef(q16, Some(q16Sql)),
     "q17_join_revenue"    -> QueryDef(q17, Some(q17Sql)),
     "q18_region_rollup"   -> QueryDef(q18, Some(q18Sql)),
+    "q25_rollup_subtotals"-> QueryDef(q25, Some(q25Sql)),
+    "q26_semi_anti_join"  -> QueryDef(q26, Some(q26Sql)),
+    "q27_sessionize_batch"-> QueryDef(q27, Some(q27Sql)),
+    "q28_json_extract"    -> QueryDef(q28, Some(q28Sql)),
+    "q29_set_ops"         -> QueryDef(q29, Some(q29Sql)),
     "q19_minhash_lsh"     -> QueryDef(q19, None),
     "q20_simhash"         -> QueryDef(q20, None),
     "q21_embed_neardup"   -> QueryDef(q21, None),

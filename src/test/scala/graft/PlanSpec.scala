@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.constraints.Validator
+import graft.sequences.SequenceSynth
+
+/** Plan-shape regressions: the properties that make the engine viable at
+  * cluster scale must survive refactors — column pruning, map-side partial
+  * aggregation, broadcast joins for small dims, real partition pruning on
+  * the resume path.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  private lazy val seqDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("planspec").toString
+    SequenceSynth.write(spark, SequenceSynth.Config(rows = 5000), s"$dir/seqs", 2)
+    s"$dir/seqs"
+  }
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private val suite = Validator.SuiteConfig()
+
+  test("sourceStats: single scan, map-side partial aggregation before the exchange") {
+    val p = plan(Validator.sourceStats(spark.read.parquet(seqDir), suite))
+    assert(p.contains("partial_kll_sketch_agg"), "KLL must partially aggregate map-side")
+    assert(p.contains("partial_hll_sketch_agg"), "HLL must partially aggregate map-side")
+    assert("Scan parquet".r.findAllIn(p).size == 1, "exactly one scan")
+  }
+
+  test("duplicateKeys scans only the needed columns") {
+    val p = plan(Validator.duplicateKeys(spark.read.parquet(seqDir))
+      .agg(count(lit(1))))
+    assert(p.contains("ReadSchema: struct<doc_id:string>"),
+      s"uniqueness must read the key column only:\n$p")
+  }
+
+  test("resume-path filter prunes partitions at the scan") {
+    val p = plan(spark.read.parquet(seqDir)
+      .filter(col("source").isin("web", "books")).groupBy("source").count())
+    assert(p.contains("PartitionFilters: [source"),
+      s"source filter must become a partition filter:\n$p")
+  }
+
+  test("small-dim joins broadcast") {
+    val p = plan(Queries.defs.toMap.apply("q18_region_rollup")
+      .fn(spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge for tiny dims:\n$p")
+  }
+
+  test("predicate pushdown reaches the parquet scan") {
+    val p = plan(spark.read.parquet(s"/root/testdata/sf0.001/lineitem.parquet")
+      .filter(col("l_quantity") > 10).select("l_orderkey"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,10"),
+      s"filter must push to the scan:\n$p")
+  }
+
+  test("brute-force top-k plans as TakeOrderedAndProject (no global sort)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = plan(graft.ops.Similarity.bruteTopK(
+      emb, "embedding", "vec_id", Seq.fill(64)(0.1f), 10))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must use heaps:\n$p")
+  }
+}
