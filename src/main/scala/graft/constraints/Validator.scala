@@ -81,16 +81,22 @@ object Validator {
     "ntok_bounds" -> (col("n_tok") < cfg.minNtok || col("n_tok") > cfg.maxNtok)
   )
 
-  /** Violation rows: identity + failed checks, from one pruned scan. */
+  /** Violation rows: identity + failed checks, from one pruned scan.
+    * The cheap boolean disjunction filters FIRST; the reasons array is
+    * only constructed for the surviving (rare) rows — building it for
+    * every row cost more than the scan itself.
+    */
   def violations(df: DataFrame, cfg: SuiteConfig): DataFrame = {
     val flags = rowFlags(cfg)
+    val anyFlag = flags.map { case (_, c) => coalesce(c, lit(false)) }
+      .reduce(_ || _)
     val reasons = array_compact(array(flags.map { case (name, c) =>
       when(coalesce(c, lit(false)), lit(name)).otherwise(lit(null))
     }: _*))
     withTokenStats(df)
+      .filter(anyFlag)
       .select(col("doc_id"), col("source"), col("n_tok"),
         col("__ts.n").as("n_tokens"), reasons.as("checks"))
-      .filter(size(col("checks")) > 0)
   }
 
   /** Per-source observed stats + mergeable sketches — the engine's
@@ -112,7 +118,10 @@ object Validator {
       max(col("__ts.max")).as("max_token"),
       min(length(col("doc_id"))).as("min_docid_len"),
       max(length(col("doc_id"))).as("max_docid_len"),
-      approx_count_distinct(col("doc_id")).as("approx_distinct_docid"),
+      // estimate derives from the same physical sketch aggregate (Spark
+      // dedups the identical agg expression) — no second per-row hash
+      hll_sketch_estimate(hll_sketch_agg(col("doc_id")))
+        .cast("long").as("approx_distinct_docid"),
       hll_sketch_agg(col("doc_id")).as("hll_docid"),
       KllSketchAgg.kll_sketch(col("n_tok"), cfg.kllK).as("kll_ntok"))
   }
