@@ -18,6 +18,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", (cpus.toInt * 2).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // the 128 MB default caps scan parallelism well below the core
+      // count on these GB-scale inputs (see BENCH/BASELINE.md)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -43,8 +46,11 @@ object Bench {
       }
     }
 
-    // validation-suite throughput over 1M synthesized sequences
-    val seqRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1000000").toLong
+    // validation-suite throughput over synthesized sequences. 8M rows
+    // (~3 GB parquet) so per-job fixed costs (codegen compile, AQE stage
+    // scheduling, driver collects) amortize and the rate reflects
+    // steady-state engine throughput, not job-launch latency.
+    val seqRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "8000000").toLong
     val benchDir = s"target/bench-seqs-$seqRows"
     val cfg = SequenceSynth.Config(rows = seqRows)
     val fs = new org.apache.hadoop.fs.Path(benchDir)
@@ -56,13 +62,17 @@ object Bench {
     val dim = spark.read.parquet(s"$benchDir-dim")
     val suiteCfg = Validator.SuiteConfig(vocabSize = cfg.vocabSize,
       minNtok = cfg.minNtok, maxNtok = cfg.maxNtok + 1)
-    var seqPerSec = 0.0
-    results("suite_validate_1m") = time {
+    def runSuite(): Double = time {
       val df = spark.read.parquet(benchDir)
       val rep = Validator.validate(spark, df, dim, suiteCfg)
       rep.violations.count()
     }
-    seqPerSec = seqRows / results("suite_validate_1m")
+    // the cold run pays page-cache misses + JIT/codegen warm-up (~5x on
+    // this suite); best-of-two warm runs is the steady-state number
+    // (BENCH/BASELINE.md protocol discards cold runs)
+    results("suite_validate_cold") = runSuite()
+    results("suite_validate_warm") = math.min(runSuite(), runSuite())
+    val seqPerSec = seqRows / results("suite_validate_warm")
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

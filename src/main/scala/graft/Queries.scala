@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ingest.JsonSchemaInference
-import graft.ops.{Dedup, Multimodal, SimHash64, Similarity, TextOps}
+import graft.ops.{Dedup, Ivf, Multimodal, SimHash64, Similarity, TextOps}
 import graft.types.{SchemaType, StrictMerge}
 
 /** The engine's query battery over the driver-provided tables: one entry
@@ -562,6 +562,19 @@ object Queries {
       .orderBy(col("kind"))
   }
 
+  /** ANN via an IVF coarse quantizer (deterministic Lloyd-refined
+    * centroids), probed + exactly reranked (rows-only: approximate by
+    * construction; OpsSpec asserts recall vs the brute oracle).
+    */
+  private def q30(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    Ivf.ivfTopK(emb.filter(col("vec_id") =!= 0), "embedding", "vec_id",
+      query, k = 10, nlist = 16, nProbe = 4)
+      .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
   // ----------------------------------------------------------------- table
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -593,6 +606,7 @@ object Queries {
     "q21_embed_neardup"   -> QueryDef(q21, None),
     "q22_schema_infer"    -> QueryDef(q22, None),
     "q23_ann_lsh"         -> QueryDef(q23, None),
-    "q24_media_features"  -> QueryDef(q24, None)
+    "q24_media_features"  -> QueryDef(q24, None),
+    "q30_ann_ivf"         -> QueryDef(q30, None)
   )
 }

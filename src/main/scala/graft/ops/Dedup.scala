@@ -60,7 +60,8 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         shingleK: Int = 3, perms: Int = 32, bands: Int = 8,
-                        minJaccard: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+                        minJaccard: Double = 0.5, maxBucket: Int = 64,
+                        materialize: Boolean = true): DataFrame = {
     val sigs = df.select(col(idCol).as("id"),
         minhashSignature(TextOps.shingles(col(textCol), shingleK), perms).as("sig"))
       .withColumn("bandinfo", explode(lshBands(col("sig"), bands, perms)))
@@ -69,11 +70,23 @@ object Dedup {
 
     // giant-bucket pruning (standard LSH practice): a band hash shared by
     // B docs generates B^2/2 pairs — degenerate buckets (boilerplate
-    // shingles) would dominate the join without finding near-dups
-    val bucketSizes = sigs.groupBy(col("band"), col("band_hash"))
-      .count().filter(col("count") <= maxBucket)
-      .select(col("band"), col("band_hash"))
-    val pruned = sigs.join(bucketSizes, Seq("band", "band_hash"))
+    // shingles) would dominate the join without finding near-dups. One
+    // window pass over the (band, band_hash) shuffle does it — no second
+    // scan + agg + join.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash"))
+    val bucketed = sigs
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+    // the signature table is ~perms longs + an id per doc — a tiny
+    // fraction of the corpus. Materializing it means the text is
+    // shingled+minhashed ONCE; without it each side of the self-join
+    // re-reads and re-hashes the full corpus.
+    val pruned =
+      if (materialize)
+        bucketed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else bucketed
 
     // bucket-local pair generation: same (band, band_hash), id < id2;
     // est_jaccard is computed INSIDE the join and only narrow columns
@@ -97,11 +110,16 @@ object Dedup {
     * Hamming distance.
     */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        maxHamming: Int = 6, prefixBits: Int = 16): DataFrame = {
+                        maxHamming: Int = 6, prefixBits: Int = 16,
+                        materialize: Boolean = true): DataFrame = {
     val sigs = df.select(col(idCol).as("id"),
       SimHash64.simhash(TextOps.shingles(col(textCol), 3)).as("sig"))
-    val withBlock = sigs.withColumn("block",
+    val blocked = sigs.withColumn("block",
       shiftrightunsigned(col("sig"), 64 - prefixBits))
+    val withBlock =
+      if (materialize)
+        blocked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else blocked
     val l = withBlock.alias("l"); val r = withBlock.alias("r")
     l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
@@ -130,9 +148,13 @@ object Dedup {
     */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
                         threshold: Double = 0.95, planes: Int = 16,
-                        seed: Long = 7L): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+                        seed: Long = 7L, materialize: Boolean = true): DataFrame = {
+    val blocked = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("block", Similarity.rhpSignature(col("v"), planes, seed))
+    val sigs =
+      if (materialize)
+        blocked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else blocked
     val l = sigs.alias("l"); val r = sigs.alias("r")
     l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))
       .withColumn("cosine", Similarity.cosine(col("l.v"), col("r.v")))

@@ -28,9 +28,18 @@ object Similarity {
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
     * signed unit from xxhash64(seed, p, j). The signature packs the sign
     * bits of the `planes` dot products into one long — equal signatures =
-    * same LSH bucket (cosine-LSH, Charikar 2002).
+    * same LSH bucket (cosine-LSH, Charikar 2002). Native single-loop
+    * expression; bit-identical to [[rhpSignatureComposed]] (pinned by
+    * NativeExprsSpec).
     */
-  def rhpSignature(vec: Column, planes: Int, seed: Long): Column = {
+  def rhpSignature(vec: Column, planes: Int, seed: Long): Column =
+    RhpSignature.rhp_signature(vec, planes, seed)
+
+  /** The composed-builtins formulation of [[rhpSignature]] — the semantic
+    * definition the native expression must match; planes*dim interpreted
+    * lambdas with a full xxhash64 chain each.
+    */
+  private[graft] def rhpSignatureComposed(vec: Column, planes: Int, seed: Long): Column = {
     val bits = (0 until planes).map { p =>
       // dot(v, h_p) where h_p(j) in {-1,+1} derived from a hash of (seed,p,j)
       val dotP = aggregate(

@@ -86,8 +86,18 @@ object TextOps {
     aggregate(split(text, " "), lit(1125899906842597L),
       (acc, w) => xxhash64(acc, w))
 
-  /** Word k-shingles as an array of 64-bit hashes (for MinHash/Jaccard). */
-  def shingles(text: Column, k: Int = 3): Column = {
+  /** Word k-shingles as an array of 64-bit hashes (for MinHash/Jaccard).
+    * Native single-pass expression; bit-identical to
+    * [[shinglesComposed]] (pinned by NativeExprsSpec).
+    */
+  def shingles(text: Column, k: Int = 3): Column =
+    ShingleHashes.shingle_hashes(text, k)
+
+  /** The composed-builtins formulation of [[shingles]] — the semantic
+    * definition the native expression must match; ~n interpreted lambdas
+    * per row, each allocating a slice + concat.
+    */
+  private[graft] def shinglesComposed(text: Column, k: Int = 3): Column = {
     val words = split(text, " ")
     val n = size(words)
     when(n < k, array(xxhash64(text)))

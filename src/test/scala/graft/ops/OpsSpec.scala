@@ -91,6 +91,40 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.toSet.subsetOf(vecs.collect().map(_.getLong(0)).toSet))
   }
 
+  test("IVF: cells group planted clusters; probed top-k has high recall vs brute") {
+    // 4 well-separated cluster centers, 40 vectors each, deterministic jitter
+    val centers = Seq(
+      Seq(10f, 0f, 0f, 0f), Seq(0f, 10f, 0f, 0f),
+      Seq(0f, 0f, 10f, 0f), Seq(0f, 0f, 0f, 10f))
+    val vecs = (0 until 160).map { i =>
+      val c = centers(i % 4)
+      val v = c.zipWithIndex.map { case (x, j) =>
+        x + (math.sin(i * 13 + j) * 0.5).toFloat }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+
+    val index = Ivf.build(vecs, "embedding", "vec_id", nlist = 4,
+      refineIters = 3)
+    // after Lloyd refinement each planted cluster maps to ONE cell
+    val cellsPerCluster = index.assigned
+      .groupBy(pmod(col("vec_id"), lit(4)).as("cluster"))
+      .agg(countDistinct(col("__cell")).as("ncells")).collect()
+    cellsPerCluster.foreach(r => assert(r.getLong(1) == 1L, r.toString))
+
+    val query = Seq(9.5f, 0.3f, -0.2f, 0.1f) // near center 0
+    val brute = Similarity.bruteTopK(vecs, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    // probing only the single nearest cell already recovers the cluster
+    val ivf = Ivf.topK(index, "embedding", "vec_id", query, 10, nProbe = 1)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall brute=$brute ivf=$ivf")
+    // probing all cells must equal brute exactly
+    val full = Ivf.topK(index, "embedding", "vec_id", query, 10, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == brute)
+  }
+
   test("multimodal plumbing: deterministic features, corrupt channel, batch-shape invariance") {
     val media = Multimodal.synthMedia(spark, 500)
     val a = Multimodal.extractFeatures(media, batchSize = 64).collect()

@@ -24,6 +24,45 @@ class NativeExprsSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("ShingleHashes is bit-identical to the composed split/slice/concat_ws/xxhash64 formula") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b", "a b c", "a b c d",
+      "one",
+      "",
+      " leading space", "trailing space ", "double  space  inside",
+      "   ", // only spaces: 4 empty words
+      "unicode éèê words café 中文 mixed in text",
+      "tab\tis not a separator here",
+      "punct, marks! and? stuff; here: ok"
+    ) ++ (0 until 500).map(i => s"synthetic doc $i with shared boilerplate words " * (i % 5 + 1))
+    for (k <- Seq(1, 2, 3, 5)) {
+      val mism = texts.toDF("text")
+        .withColumn("a", graft.ops.TextOps.shinglesComposed(col("text"), k))
+        .withColumn("b", graft.ops.TextOps.shingles(col("text"), k))
+        .filter(!(col("a") <=> col("b")))
+        .count()
+      assert(mism == 0, s"k=$k")
+    }
+  }
+
+  test("RhpSignature is bit-identical to the composed zip_with/aggregate formula") {
+    import spark.implicits._
+    val vecs: Seq[Seq[Float]] =
+      (0 until 300).map(i => (0 until 32).map(j =>
+        math.sin(i * 31 + j).toFloat)) ++
+      Seq(Seq.empty[Float], Seq(0.0f), Seq(-0.0f, 0.0f))
+    for ((planes, seed) <- Seq((8, 7L), (16, 7L), (12, 99L))) {
+      val mism = vecs.toDF("v")
+        .withColumn("a", graft.ops.Similarity.rhpSignatureComposed(col("v"), planes, seed))
+        .withColumn("b", graft.ops.Similarity.rhpSignature(col("v"), planes, seed))
+        .filter(!(col("a") <=> col("b")))
+        .count()
+      assert(mism == 0, s"planes=$planes seed=$seed")
+    }
+  }
+
   test("TokenStats equals the composed size/exists/min/max expressions") {
     val df = spark.sql(
       """SELECT * FROM VALUES
