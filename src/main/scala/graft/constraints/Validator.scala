@@ -280,7 +280,7 @@ object Validator {
     ValidationReport(verdicts, viols, statsToDf(spark, stats))
   }
 
-  private[constraints] def statsToDf(spark: SparkSession, rows: Array[Row]): DataFrame =
+  private[graft] def statsToDf(spark: SparkSession, rows: Array[Row]): DataFrame =
     if (rows.isEmpty) spark.emptyDataFrame
     else spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), rows(0).schema)

@@ -1,0 +1,199 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.constraints.Validator
+import graft.constraints.Validator.SuiteConfig
+import graft.stats.KllSketchAgg
+
+/** Continuous validation of a GROWING sequences directory — the streaming
+  * twin of [[graft.constraints.ResumableValidator]]. New parquet files
+  * arriving under `inputDir` are picked up by the file stream source; each
+  * micro-batch flows through the same one-scan stats + violations plan as
+  * the batch suite, and its per-source stat sketches are merged into
+  * cumulative state (counts add, min/max fold, HLL union, KLL merge — the
+  * reference's commutative extract-then-merge monoid, core.clj:22-27,
+  * applied across TIME instead of across partitions).
+  *
+  * Exactly-once accounting across restarts:
+  *  - the stream checkpoint (`statePath/checkpoint`) makes batch ids
+  *    deterministic on replay;
+  *  - violations are written partitioned by batch_id with dynamic
+  *    partition overwrite — a replayed batch overwrites its own output
+  *    instead of duplicating it;
+  *  - cumulative stats carry `last_batch_id`; a replayed batch whose id
+  *    is <= the stored watermark is skipped (the merge is NOT re-applied).
+  *
+  * Global exact uniqueness is a cross-history shuffle and is intentionally
+  * NOT recomputed per batch at stream scale; the verdict uses the merged
+  * HLL estimate (distinct_est vs rows seen), labelled `uniqueness_approx`.
+  */
+object StreamingValidator {
+
+  def statsPath(statePath: String) = s"$statePath/stream-stats"
+  def violationsPath(statePath: String) = s"$statePath/violations"
+  def verdictsPath(statePath: String) = s"$statePath/verdicts"
+  def checkpointPath(statePath: String) = s"$statePath/checkpoint"
+
+  /** Merge two per-source stats row sets (driver-side: one small row per
+    * source). Null-safe min/max; sketch bytes merged with their native
+    * unions.
+    */
+  def mergeStatsRows(a: Array[Row], b: Array[Row], kllK: Int): Array[Row] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val schema = a.headOption.getOrElse(b.head).schema
+    val bySource = (a ++ b).groupBy(_.getAs[String]("source"))
+    bySource.toArray.sortBy(_._1).map { case (_, rows) =>
+      if (rows.length == 1) rows(0)
+      else {
+        def sumL(f: String) = rows.map(_.getAs[Long](f)).sum
+        def minI(f: String): Any = {
+          val vs = rows.flatMap(r => Option(r.getAs[Integer](f)).map(_.toInt))
+          if (vs.isEmpty) null else Int.box(vs.min)
+        }
+        def maxI(f: String): Any = {
+          val vs = rows.flatMap(r => Option(r.getAs[Integer](f)).map(_.toInt))
+          if (vs.isEmpty) null else Int.box(vs.max)
+        }
+        val hll = unionHll(rows.map(_.getAs[Array[Byte]]("hll_docid")))
+        val kll = KllSketchAgg.mergeBytes(
+          rows.map(_.getAs[Array[Byte]]("kll_ntok")), kllK).toByteArray
+        val values: Array[Any] = schema.fieldNames.map {
+          case "source" => rows(0).getAs[String]("source")
+          case f @ ("n_rows" | "n_ntok_mismatch" | "n_null_token" |
+                    "n_oov_token" | "n_ntok_bounds" | "n_null_docid") => Long.box(sumL(f))
+          case f @ ("min_ntok" | "min_token" | "min_docid_len") => minI(f)
+          case f @ ("max_ntok" | "max_token" | "max_docid_len") => maxI(f)
+          case "approx_distinct_docid" =>
+            Long.box(math.round(
+              org.apache.datasketches.hll.HllSketch.heapify(hll).getEstimate))
+          case "hll_docid" => hll
+          case "kll_ntok" => kll
+          case other => throw new IllegalStateException(s"unknown stats field $other")
+        }
+        new GenericRowWithSchema(values, schema): Row
+      }
+    }
+  }
+
+  private def unionHll(sketches: Seq[Array[Byte]]): Array[Byte] = {
+    val u = new org.apache.datasketches.hll.Union(12)
+    sketches.foreach(b => u.update(org.apache.datasketches.hll.HllSketch.heapify(b)))
+    u.getResult.toUpdatableByteArray
+  }
+
+  /** Estimated duplicate mass from merged HLL vs total rows seen (the
+    * stream-scale uniqueness signal; tolerance covers HLL error).
+    */
+  def approxUniquenessVerdict(spark: SparkSession, stats: Array[Row],
+                              tolerance: Double = 0.02): DataFrame = {
+    import spark.implicits._
+    val totalRows = stats.map(_.getAs[Long]("n_rows")).sum
+    val est =
+      if (stats.isEmpty) 0L
+      else math.round(org.apache.datasketches.hll.HllSketch
+        .heapify(unionHll(stats.map(_.getAs[Array[Byte]]("hll_docid")).toSeq))
+        .getEstimate)
+    val pass = totalRows == 0 || est >= totalRows * (1.0 - tolerance)
+    Seq(("*", "uniqueness_approx", pass,
+      s"~$est distinct doc_ids / $totalRows rows (HLL)",
+      f"distinct >= ${(1.0 - tolerance) * 100}%.0f%% of rows"))
+      .toDF("source", "check", "pass", "observed", "expected")
+  }
+
+  /** Assemble verdicts from cumulative stats (per-source checks + drift +
+    * the HLL uniqueness estimate).
+    */
+  def verdictsFromStats(spark: SparkSession, stats: Array[Row],
+                        dim: Array[Row], cfg: SuiteConfig): DataFrame =
+    Validator.buildVerdicts(spark, stats, dim, dupStats = None, cfg)
+      .union(approxUniquenessVerdict(spark, stats))
+
+  /** Start the stream. With the default AvailableNow trigger this
+    * processes everything currently in `inputDir` and stops — the
+    * "incremental batch" deployment (rerun on a schedule, each run picks
+    * up only new files); pass ProcessingTime for an always-on daemon.
+    */
+  def start(spark: SparkSession, inputDir: String, statePath: String,
+            dim: DataFrame, cfg: SuiteConfig = SuiteConfig(),
+            trigger: Trigger = Trigger.AvailableNow(),
+            maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val schema = spark.read.parquet(inputDir).schema
+    val dimRows = dim.collect()
+    val reader = spark.readStream.schema(schema)
+    // NB: the file source needs a FLAT directory of parquet files with
+    // `source` as a DATA column (hive-partitioned layouts would strip it
+    // from the files); growing corpora append part files here
+    val stream = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n))
+      .getOrElse(reader)
+      .parquet(inputDir)
+
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath(statePath))
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(spark, batch, batchId, statePath, dimRows, cfg)
+      }
+      .start()
+  }
+
+  /** One micro-batch: violations (idempotent per batch), stats merge
+    * (watermarked by batch id), verdict refresh.
+    */
+  private[streaming] def processBatch(spark: SparkSession, batch: DataFrame,
+                                      batchId: Long, statePath: String,
+                                      dimRows: Array[Row], cfg: SuiteConfig): Unit = {
+    val prev = readStats(spark, statePath)
+    val lastBatch = prev.map(_._1).getOrElse(-1L)
+    if (batchId <= lastBatch) return // replay of an already-merged batch
+
+    Validator.violations(batch, cfg)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(violationsPath(statePath))
+
+    val merged = mergeStatsRows(
+      prev.map(_._2).getOrElse(Array.empty[Row]),
+      Validator.sourceStats(batch, cfg).collect(),
+      cfg.kllK)
+    if (merged.nonEmpty) {
+      writeStats(spark, statePath, batchId, merged)
+      verdictsFromStats(spark, merged, dimRows, cfg)
+        .coalesce(1).write.mode("overwrite").parquet(verdictsPath(statePath))
+    }
+  }
+
+  private def writeStats(spark: SparkSession, statePath: String,
+                         batchId: Long, stats: Array[Row]): Unit = {
+    val df = Validator.statsToDf(spark, stats).withColumn("last_batch_id", lit(batchId))
+    // two-generation layout: write the new generation, then flip a tiny
+    // pointer file — readers never see a half-written directory
+    val gen = s"${statsPath(statePath)}/gen-$batchId"
+    df.coalesce(1).write.mode("overwrite").parquet(gen)
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(s"${statsPath(statePath)}/CURRENT")
+    val out = fs.create(ptr, true)
+    out.write(s"gen-$batchId".getBytes("UTF-8")); out.close()
+  }
+
+  def readStats(spark: SparkSession, statePath: String): Option[(Long, Array[Row])] = {
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(s"${statsPath(statePath)}/CURRENT")
+    if (!fs.exists(ptr)) return None
+    val in = fs.open(ptr)
+    val gen = scala.io.Source.fromInputStream(in).mkString.trim
+    in.close()
+    val df = spark.read.parquet(s"${statsPath(statePath)}/$gen")
+    val batchId = df.select(col("last_batch_id")).head().getLong(0)
+    Some((batchId, df.drop("last_batch_id").collect()))
+  }
+}
