@@ -60,6 +60,20 @@ class PlanSpec extends AnyFunSuite {
       s"filter must push to the scan:\n$p")
   }
 
+  test("minhash candidate self-join reads the materialized signature table, not the corpus twice") {
+    import spark.implicits._
+    val docs = (0 until 50).map(i => (i.toLong, s"some words $i repeated here " * 5))
+      .toDF("id", "text")
+    val p = plan(graft.ops.Dedup.minhashCandidates(docs, "text", "id"))
+    // both join sides must come from the persisted signature table
+    assert(p.contains("InMemoryTableScan"),
+      s"expected cached signature scan in:\n$p")
+    // the raw text is shingled at most once in this plan (cache population);
+    // it must NOT appear on both sides of the join
+    assert("shingle_hashes".r.findAllIn(p).size <= 1,
+      s"corpus must be shingled once, plan:\n$p")
+  }
+
   test("brute-force top-k plans as TakeOrderedAndProject (no global sort)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val p = plan(graft.ops.Similarity.bruteTopK(
