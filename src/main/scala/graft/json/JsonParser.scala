@@ -71,10 +71,26 @@ object JsonParser {
       JObj(n.properties().asScala.map(e => e.getKey -> fromJackson(e.getValue)).toMap)
     else JStr(n.toString)
 
+  /** Reference order first (one peel, then the raw string —
+    * parser.clj:92-126), then keep peeling: the reference's own goldens
+    * (parser_test.clj:6-21 over nested-escaped-json*.js) require revival
+    * at escape depth > 1 ("unescaped one level at a time and re-parsed
+    * recursively"). Each level removes one backslash per quote, so the
+    * loop strictly shrinks and is bounded.
+    */
   private def parseRevived(s: String): Option[JValue] =
-    if (possiblyInnerEscaped(s))
-      tryParse(unescapeOneLevel(s)).orElse(tryParse(s)).map(fromJackson)
-    else tryParse(s).map(fromJackson)
+    if (possiblyInnerEscaped(s)) {
+      val oneLevel = unescapeOneLevel(s)
+      var res = tryParse(oneLevel).orElse(tryParse(s))
+      var cur = oneLevel
+      var guard = 0
+      while (res.isEmpty && guard < 8) {
+        val next = unescapeOneLevel(cur)
+        if (next == cur) guard = 8
+        else { cur = next; res = tryParse(cur); guard += 1 }
+      }
+      res.map(fromJackson)
+    } else tryParse(s).map(fromJackson)
 
   // revival recurses into the revived content's elements/values
   // (parser.clj:91-126: `map jsonify` / `project-map :value-xform jsonify`)
