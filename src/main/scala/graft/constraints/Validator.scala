@@ -41,6 +41,9 @@ object Validator {
       kllK: Int = 200,
       psiThreshold: Double = 0.25,
       ksThreshold: Double = 0.30,
+      /** token-ID distribution drift: histogram bins + PSI threshold */
+      tokenHistBins: Int = 64,
+      tokenPsiThreshold: Double = 0.25,
       /** run the exact global uniqueness shuffle (vs HLL estimate only) */
       exactUniqueness: Boolean = true,
       /** cap violation rows sampled per check (driver/report safety) */
@@ -123,7 +126,9 @@ object Validator {
       hll_sketch_estimate(hll_sketch_agg(col("doc_id")))
         .cast("long").as("approx_distinct_docid"),
       hll_sketch_agg(col("doc_id")).as("hll_docid"),
-      KllSketchAgg.kll_sketch(col("n_tok"), cfg.kllK).as("kll_ntok"))
+      KllSketchAgg.kll_sketch(col("n_tok"), cfg.kllK).as("kll_ntok"),
+      graft.stats.TokenHistAgg.token_hist(col("tokens"),
+        cfg.tokenHistBins, cfg.vocabSize).as("hist_token"))
   }
 
   /** Exact global duplicate keys: the one wide shuffle, over a two-column
@@ -255,12 +260,30 @@ object Validator {
       }.toSeq
     }
 
+    // token-ID distribution drift: each source's token histogram vs the
+    // pooled rest (vector-add of the other sources' histograms — the same
+    // self-vs-rest design as the n_tok KLL drift, but over the payload)
+    val tokenDrift = {
+      val hists = stats.map { r =>
+        r.getAs[String]("source") -> r.getAs[Seq[Long]]("hist_token").toArray
+      }.sortBy(_._1)
+      hists.map { case (s, self) =>
+        val rest = hists.collect { case (o, h) if o != s => h }
+          .reduceOption(graft.stats.TokenHistAgg.add)
+          .getOrElse(new Array[Long](self.length))
+        val psi = Drift.psiCounts(rest, self)
+        vRow(s, "token_drift", psi <= cfg.tokenPsiThreshold,
+          f"PSI=$psi%.4f over ${self.length} id-range bins",
+          f"PSI<=${cfg.tokenPsiThreshold}")
+      }.toSeq
+    }
+
     val global = dupStats.toSeq.map { case (nKeys, nExtra) =>
       vRow("*", "uniqueness", nKeys == 0L,
         s"$nKeys duplicated doc_ids ($nExtra extra rows)", "all doc_ids unique")
     }
 
-    (perSource.toSeq ++ drift ++ global)
+    (perSource.toSeq ++ drift ++ tokenDrift ++ global)
       .toDF("source", "check", "pass", "observed", "expected")
   }
 

@@ -31,6 +31,27 @@ object Drift {
     s
   }
 
+  /** PSI over two aligned count histograms (e.g. [[TokenHistAgg]]
+    * vectors) — the categorical-distribution twin of [[psi]]. Counts are
+    * normalized to masses with eps smoothing; empty histograms -> 0.
+    */
+  def psiCounts(reference: Array[Long], observed: Array[Long],
+                eps: Double = 1e-6): Double = {
+    require(reference.length == observed.length)
+    val rn = reference.sum.toDouble
+    val on = observed.sum.toDouble
+    if (rn == 0 || on == 0) return 0.0
+    var s = 0.0
+    var i = 0
+    while (i < reference.length) {
+      val pi = math.max(reference(i) / rn, eps)
+      val qi = math.max(observed(i) / on, eps)
+      s += (pi - qi) * math.log(pi / qi)
+      i += 1
+    }
+    s
+  }
+
   /** Kolmogorov-Smirnov statistic: max |CDF_a - CDF_b| probed at both
     * sketches' quantile grids.
     */

@@ -73,6 +73,9 @@ object StreamingValidator {
               org.apache.datasketches.hll.HllSketch.heapify(hll).getEstimate))
           case "hll_docid" => hll
           case "kll_ntok" => kll
+          case "hist_token" =>
+            rows.map(_.getAs[Seq[Long]]("hist_token").toArray)
+              .reduce(graft.stats.TokenHistAgg.add).toSeq
           case other => throw new IllegalStateException(s"unknown stats field $other")
         }
         new GenericRowWithSchema(values, schema): Row

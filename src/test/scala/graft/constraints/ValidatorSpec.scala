@@ -30,6 +30,23 @@ class ValidatorSpec extends AnyFunSuite {
     assert(!byCheck.contains("ntok_bounds"))
   }
 
+  test("token-ID distribution drift fires on a shifted-vocabulary source only") {
+    import spark.implicits._
+    // synth tokens are uniform over the vocab for every source -> no drift
+    assert(verdicts(("chat", "token_drift")))
+    assert(verdicts(("web", "token_drift")))
+    // a source whose tokens concentrate at the top of the vocab drifts
+    val shifted = (0 until 1000).map { i =>
+      (f"drift$i%05d", Seq.fill(40)(cfg.vocabSize - 1 - (i % 100)), 40, "driftsrc")
+    }.toDF("doc_id", "tokens", "n_tok", "source")
+    val rep = Validator.validate(spark, df.unionByName(shifted), dim, suite)
+    val v = rep.verdicts.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(!v(("driftsrc", "token_drift")))
+    assert(v(("web", "token_drift")))
+    assert(v(("books", "token_drift")))
+  }
+
   test("per-source verdicts fail exactly where violations were planted") {
     // ghost partition fails referential; real sources pass
     assert(!verdicts(("ghost", "referential")))

@@ -20,6 +20,29 @@ class SketchSpec extends AnyFunSuite {
     assert(sk.getMinItem == 0.0 && sk.getMaxItem == 100000.0)
   }
 
+  test("token histogram: distributed agg equals local counting; repartition-invariant (monoid)") {
+    val vocab = 1000
+    val bins = 16
+    val rows = (0 until 500).map(i => Seq(i % vocab, (i * 7) % vocab, vocab - 1, -5, vocab + 3))
+    val df = rows.toDF("tokens").selectExpr("cast(tokens as array<int>) as tokens")
+    def histOf(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.agg(TokenHistAgg.token_hist(col("tokens"), bins, vocab)).collect()(0).getSeq[Long](0)
+    val one = histOf(df.coalesce(1))
+    val many = histOf(df.repartition(8))
+    assert(one == many)
+    // local ground truth with the same clamped binning
+    val expected = new Array[Long](bins)
+    rows.flatten.foreach { t =>
+      val bin = if (t < 0) 0 else if (t >= vocab) bins - 1 else (t.toLong * bins / vocab).toInt
+      expected(bin) += 1
+    }
+    assert(one == expected.toSeq)
+    // psiCounts: self vs self is 0; concentrated vs uniform is large
+    assert(Drift.psiCounts(expected, expected) == 0.0)
+    val concentrated = new Array[Long](bins); concentrated(bins - 1) = 2500
+    assert(Drift.psiCounts(expected, concentrated) > 1.0)
+  }
+
   test("KLL partial sketches merge to the same answer as one global sketch (monoid)") {
     val parts = (0 until 4).map { p =>
       spark.range(p * 25000L, (p + 1) * 25000L)
