@@ -102,6 +102,24 @@ object Validator {
         col("__ts.n").as("n_tokens"), reasons.as("checks"))
   }
 
+  /** Bounded violation EXAMPLES per (source, check) — the report channel.
+    * At 10^12 rows the full violation set can itself be TB-sized when a
+    * check fires broadly; totals come from [[sourceStats]] counters, the
+    * report carries a deterministic bounded sample of identities (the
+    * reference's distinct-coverage accumulator semantics,
+    * example_data.clj:36-92: keep representatives, stop when covered).
+    * One shuffle keyed (source, check); rank by doc_id for determinism.
+    */
+  def violationExamples(df: DataFrame, cfg: SuiteConfig): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("check")).orderBy(col("doc_id"))
+    violations(df, cfg)
+      .withColumn("check", explode(col("checks")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cfg.violationSampleCap)
+      .drop("__rn", "checks")
+  }
+
   /** Per-source observed stats + mergeable sketches — the engine's
     * "observed schema with metadata" (extract-then-merge, core.clj:22-27),
     * one row per source partition.
@@ -260,6 +278,20 @@ object Validator {
       }.toSeq
     }
 
+    // completeness (reverse referential): every dim source must have data
+    // — a silently missing partition is the upload failure the reference's
+    // diagnosis use-case exists to catch before training reads the table
+    val completeness = dim.map(_.getAs[String]("source")).sorted.map { s =>
+      bySource.get(s) match {
+        case Some(r) =>
+          vRow(s, "completeness", pass = true,
+            s"${r.getAs[Long]("n_rows")} rows observed", ">0 rows per dim source")
+        case None =>
+          vRow(s, "completeness", pass = false,
+            "0 rows observed", ">0 rows per dim source")
+      }
+    }.toSeq
+
     // token-ID distribution drift: each source's token histogram vs the
     // pooled rest (vector-add of the other sources' histograms — the same
     // self-vs-rest design as the n_tok KLL drift, but over the payload)
@@ -283,7 +315,7 @@ object Validator {
         s"$nKeys duplicated doc_ids ($nExtra extra rows)", "all doc_ids unique")
     }
 
-    (perSource.toSeq ++ drift ++ tokenDrift ++ global)
+    (perSource.toSeq ++ completeness ++ drift ++ tokenDrift ++ global)
       .toDF("source", "check", "pass", "observed", "expected")
   }
 

@@ -32,11 +32,18 @@ case class TokenHistAgg(
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](bins)
 
+  // bin = floor(t * bins / vocab), precomputed: a 64-bit divide per token
+  // dominates the update loop at ~200 tokens/row; the LUT (4B * vocab,
+  // one per operator instance) turns it into an array read and is exact
+  private lazy val binLut: Array[Int] =
+    Array.tabulate(vocab)(t => (t.toLong * bins / vocab).toInt)
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
+      val lut = binLut
       var i = 0
       while (i < n) {
         if (!arr.isNullAt(i)) {
@@ -44,7 +51,7 @@ case class TokenHistAgg(
           val bin =
             if (t < 0) 0
             else if (t >= vocab) bins - 1
-            else (t.toLong * bins / vocab).toInt
+            else lut(t)
           buf(bin) += 1
         }
         i += 1

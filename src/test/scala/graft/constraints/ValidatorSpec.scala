@@ -47,6 +47,34 @@ class ValidatorSpec extends AnyFunSuite {
     assert(v(("books", "token_drift")))
   }
 
+  test("completeness: a dim source with no data fails; populated sources pass") {
+    // present sources pass on the default report
+    assert(verdicts(("web", "completeness")))
+    assert(verdicts(("chat", "completeness")))
+    // drop one source's data entirely -> its dim row fails completeness
+    val rep = Validator.validate(spark, df.filter(col("source") =!= "books"), dim, suite)
+    val v = rep.verdicts.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(!v(("books", "completeness")))
+    assert(v(("web", "completeness")))
+  }
+
+  test("violation examples are capped per (source, check) and deterministic") {
+    val ex = Validator.violationExamples(df, suite.copy(violationSampleCap = 3))
+    val counts = ex.groupBy("source", "check").count().collect()
+    assert(counts.nonEmpty)
+    counts.foreach(r => assert(r.getLong(2) <= 3, r.toString))
+    // the kept examples are the smallest doc_ids of the full set
+    val fullTop = Validator.violations(df, suite)
+      .withColumn("check", explode(col("checks")))
+      .filter(col("source") === "web" && col("check") === "oov_token")
+      .orderBy(col("doc_id")).limit(3)
+      .select("doc_id").collect().map(_.getString(0)).toSeq
+    val got = ex.filter(col("source") === "web" && col("check") === "oov_token")
+      .orderBy(col("doc_id")).select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(got == fullTop)
+  }
+
   test("per-source verdicts fail exactly where violations were planted") {
     // ghost partition fails referential; real sources pass
     assert(!verdicts(("ghost", "referential")))
