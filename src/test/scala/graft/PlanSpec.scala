@@ -29,6 +29,7 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Validator.sourceStats(spark.read.parquet(seqDir), suite))
     assert(p.contains("partial_kll_sketch_agg"), "KLL must partially aggregate map-side")
     assert(p.contains("partial_hll_sketch_agg"), "HLL must partially aggregate map-side")
+    assert(p.contains("partial_token_hist_agg"), "token histogram must partially aggregate map-side")
     assert("Scan parquet".r.findAllIn(p).size == 1, "exactly one scan")
   }
 
