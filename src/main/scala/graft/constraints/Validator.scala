@@ -122,9 +122,21 @@ object Validator {
 
   /** Per-source observed stats + mergeable sketches — the engine's
     * "observed schema with metadata" (extract-then-merge, core.clj:22-27),
-    * one row per source partition.
+    * one row per source partition. Fused single-walk aggregate (see
+    * [[SuiteStatsAgg]]); [[sourceStatsComposed]] is the composed-builtins
+    * semantic twin, pinned equal by SuiteStatsSpec.
     */
-  def sourceStats(df: DataFrame, cfg: SuiteConfig): DataFrame = {
+  def sourceStats(df: DataFrame, cfg: SuiteConfig): DataFrame =
+    df.groupBy(col("source"))
+      .agg(SuiteStatsAgg.suite_stats(
+        col("doc_id"), col("tokens"), col("n_tok"), cfg).as("__s"))
+      .select(col("source") +: SuiteStatsAgg.schema.fieldNames.toSeq
+        .map(f => col(s"__s.$f").as(f)): _*)
+
+  /** The composed-builtins formulation of [[sourceStats]] — 16 aggregate
+    * expressions over two token-array walks (TokenStats + TokenHistAgg).
+    */
+  private[graft] def sourceStatsComposed(df: DataFrame, cfg: SuiteConfig): DataFrame = {
     val flags = rowFlags(cfg).toMap
     withTokenStats(df).groupBy(col("source")).agg(
       count(lit(1)).as("n_rows"),
@@ -297,7 +309,9 @@ object Validator {
     // self-vs-rest design as the n_tok KLL drift, but over the payload)
     val tokenDrift = {
       val hists = stats.map { r =>
-        r.getAs[String]("source") -> r.getAs[Seq[Long]]("hist_token").toArray
+        // collection.Seq: fused-agg rows surface mutable.ArraySeq here
+        r.getAs[String]("source") ->
+          r.getAs[scala.collection.Seq[Long]]("hist_token").toArray
       }.sortBy(_._1)
       hists.map { case (s, self) =>
         val rest = hists.collect { case (o, h) if o != s => h }

@@ -74,7 +74,7 @@ object StreamingValidator {
           case "hll_docid" => hll
           case "kll_ntok" => kll
           case "hist_token" =>
-            rows.map(_.getAs[Seq[Long]]("hist_token").toArray)
+            rows.map(_.getAs[scala.collection.Seq[Long]]("hist_token").toArray)
               .reduce(graft.stats.TokenHistAgg.add).toSeq
           case other => throw new IllegalStateException(s"unknown stats field $other")
         }

@@ -27,10 +27,12 @@ class PlanSpec extends AnyFunSuite {
 
   test("sourceStats: single scan, map-side partial aggregation before the exchange") {
     val p = plan(Validator.sourceStats(spark.read.parquet(seqDir), suite))
-    assert(p.contains("partial_kll_sketch_agg"), "KLL must partially aggregate map-side")
-    assert(p.contains("partial_hll_sketch_agg"), "HLL must partially aggregate map-side")
-    assert(p.contains("partial_token_hist_agg"), "token histogram must partially aggregate map-side")
+    assert(p.contains("partial_suite_stats_agg"), "fused stats must partially aggregate map-side")
     assert("Scan parquet".r.findAllIn(p).size == 1, "exactly one scan")
+    // the composed twin keeps its own partial-agg guarantees
+    val pc = plan(Validator.sourceStatsComposed(spark.read.parquet(seqDir), suite))
+    assert(pc.contains("partial_kll_sketch_agg") && pc.contains("partial_hll_sketch_agg")
+      && pc.contains("partial_token_hist_agg"))
   }
 
   test("duplicateKeys scans only the needed columns") {
