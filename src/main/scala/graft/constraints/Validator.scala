@@ -85,11 +85,29 @@ object Validator {
   )
 
   /** Violation rows: identity + failed checks, from one pruned scan.
-    * The cheap boolean disjunction filters FIRST; the reasons array is
-    * only constructed for the surviving (rare) rows — building it for
-    * every row cost more than the scan itself.
+    * The filter evaluates ONE native [[graft.sequences.ViolationMask]]
+    * walk per row (predicate pushdown would inline a shared token_stats
+    * alias into five walks per row); the reasons array and n_tokens are
+    * decoded from the mask / array header only for the surviving (rare)
+    * rows. [[violationsComposed]] is the composed-expressions twin,
+    * pinned row-identical by SuiteStatsSpec.
     */
   def violations(df: DataFrame, cfg: SuiteConfig): DataFrame = {
+    val mask = graft.sequences.ViolationMask.violation_mask(
+      col("tokens"), col("n_tok"), cfg.vocabSize, cfg.minNtok, cfg.maxNtok)
+    val reasons = array_compact(array(rowChecks.zipWithIndex.map {
+      case (name, bit) =>
+        when((col("__m").bitwiseAND(lit(1 << bit))) =!= 0, lit(name))
+          .otherwise(lit(null))
+    }: _*))
+    df.withColumn("__m", mask)
+      .filter(col("__m") =!= 0)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        size(col("tokens")).as("n_tokens"), reasons.as("checks"))
+  }
+
+  /** Composed-builtins twin of [[violations]] (the semantic definition). */
+  private[graft] def violationsComposed(df: DataFrame, cfg: SuiteConfig): DataFrame = {
     val flags = rowFlags(cfg)
     val anyFlag = flags.map { case (_, c) => coalesce(c, lit(false)) }
       .reduce(_ || _)

@@ -100,3 +100,71 @@ object TokenStats {
   def token_stats(tokens: Column): Column =
     ColumnBridge.column(TokenStats(ColumnBridge.expression(tokens)))
 }
+
+/** Row-violation bitmask in ONE walk: bit 1 = ntok_mismatch, 2 =
+  * null_token, 4 = oov_token, 8 = ntok_bounds. Exactly the
+  * [[graft.constraints.Validator.rowFlags]] predicates under the
+  * violation channel's coalesce(flag, FALSE) defaults (null inputs never
+  * flag here — they have sourceStats counters).
+  *
+  * Why: predicate pushdown inlines a shared token_stats alias into every
+  * field reference of the filter — FIVE interpreted walks of the token
+  * array per scanned row. The mask keeps the filter to one walk; the
+  * (rare) surviving rows decode their reasons from the mask with cheap
+  * bit tests.
+  */
+case class ViolationMask(tokens: Expression, nTok: Expression,
+                         vocab: Int, minNtok: Int, maxNtok: Int)
+  extends BinaryExpression with CodegenFallback {
+  override def left: Expression = tokens
+  override def right: Expression = nTok
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+
+  // must run for null inputs too (null tokens + non-null n_tok can still
+  // flag ntok_bounds), so eval overrides rather than nullSafeEval
+  override def eval(input: InternalRow): Any = {
+    val arrRaw = tokens.eval(input)
+    val ntRaw = nTok.eval(input)
+    var mask = 0
+    if (ntRaw != null) {
+      val v = ntRaw.asInstanceOf[Int]
+      if (v < minNtok || v > maxNtok) mask |= 8
+    }
+    if (arrRaw != null) {
+      val arr = arrRaw.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var nNull = 0
+      var mn = Int.MaxValue
+      var mx = Int.MinValue
+      var seen = false
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) nNull += 1
+        else {
+          val t = arr.getInt(i)
+          if (t < mn) mn = t
+          if (t > mx) mx = t
+          seen = true
+        }
+        i += 1
+      }
+      if (ntRaw != null && ntRaw.asInstanceOf[Int] != n) mask |= 1
+      if (nNull > 0) mask |= 2
+      if (seen && (mn < 0 || mx >= vocab)) mask |= 4
+    }
+    mask
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ViolationMask =
+    copy(tokens = l, nTok = r)
+  override def prettyName: String = "violation_mask"
+}
+
+object ViolationMask {
+  def violation_mask(tokens: Column, nTok: Column,
+                     vocab: Int, minNtok: Int, maxNtok: Int): Column =
+    ColumnBridge.column(ViolationMask(
+      ColumnBridge.expression(tokens), ColumnBridge.expression(nTok),
+      vocab, minNtok, maxNtok))
+}

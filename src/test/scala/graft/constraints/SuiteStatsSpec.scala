@@ -51,6 +51,14 @@ class SuiteStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("mask-based violations equal the composed violation rows exactly") {
+    val df = SequenceSynth.sequences(spark, cfg).cache()
+    val fast = Validator.violations(df, suite)
+    val slow = Validator.violationsComposed(df, suite)
+    assert(fast.count() == slow.count())
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
   test("fused stats handle degenerate rows like the composed plan (nulls everywhere)") {
     import spark.implicits._
     val weird = Seq[(String, Seq[Integer], Integer, String)](
@@ -71,5 +79,8 @@ class SuiteStatsSpec extends AnyFunSuite {
       assert(Option(fused(s).getAs[Any](fld)) == Option(composed(s).getAs[Any](fld)),
         s"$s.$fld: ${fused(s)} vs ${composed(s)}")
     }
+    val fastViol = Validator.violations(weird, suite)
+    val slowViol = Validator.violationsComposed(weird, suite)
+    assert(fastViol.exceptAll(slowViol).isEmpty && slowViol.exceptAll(fastViol).isEmpty)
   }
 }
