@@ -51,6 +51,25 @@ class SuiteStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("fused stats are partition-layout invariant (serialize/merge monoid)") {
+    val df = SequenceSynth.sequences(spark, SequenceSynth.Config(rows = 5000)).cache()
+    val one = bySource(Validator.sourceStats(df.coalesce(1), suite))
+    val many = bySource(Validator.sourceStats(df.repartition(13), suite))
+    assert(one.keySet == many.keySet)
+    for (s <- one.keySet) {
+      for (fld <- SuiteStatsAgg.schema.fieldNames
+             if fld != "hll_docid" && fld != "kll_ntok" && fld != "hist_token"
+               && fld != "approx_distinct_docid")
+        assert(Option(one(s).getAs[Any](fld)) == Option(many(s).getAs[Any](fld)), s"$s.$fld")
+      assert(one(s).getAs[scala.collection.Seq[Long]]("hist_token").toSeq ==
+        many(s).getAs[scala.collection.Seq[Long]]("hist_token").toSeq, s"$s.hist")
+      // sketch estimates: different merge trees, same data -> within 2%
+      val a = one(s).getAs[Long]("approx_distinct_docid").toDouble
+      val b = many(s).getAs[Long]("approx_distinct_docid").toDouble
+      assert(math.abs(a - b) <= 0.02 * math.max(a, 1.0), s"$s.approx: $a vs $b")
+    }
+  }
+
   test("mask-based violations equal the composed violation rows exactly") {
     val df = SequenceSynth.sequences(spark, cfg).cache()
     val fast = Validator.violations(df, suite)
