@@ -22,7 +22,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column =
+  /** Cosine similarity — native one-walk expression; bit-identical to
+    * [[cosineComposed]] (pinned by NativeExprsSpec).
+    */
+  def cosine(a: Column, b: Column): Column = CosineSim.cosine_sim(a, b)
+
+  /** Composed-builtins twin of [[cosine]]: three interpreted folds. */
+  private[graft] def cosineComposed(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a

@@ -63,6 +63,33 @@ class NativeExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("CosineSim is bit-identical to the composed dot/norm formula") {
+    import spark.implicits._
+    val pairs: Seq[(Seq[Float], Seq[Float])] =
+      (0 until 200).map { i =>
+        ((0 until 24).map(j => math.sin(i * 7 + j).toFloat),
+         (0 until 24).map(j => math.cos(i * 3 + j).toFloat))
+      }
+    val df = pairs.toDF("a", "b")
+    val mism = df
+      .withColumn("x", graft.ops.Similarity.cosineComposed(col("a"), col("b")))
+      .withColumn("y", graft.ops.Similarity.cosine(col("a"), col("b")))
+      .filter(!(col("x") <=> col("y")))
+      .count()
+    assert(mism == 0)
+    // degenerate inputs: the ANSI composed form THROWS DIVIDE_BY_ZERO on a
+    // zero norm; the native form is total — null for unequal lengths/null
+    // elements, NaN for zero norms (never a candidate above any threshold)
+    val deg = Seq(
+      (Seq(1f, 2f), Seq(1f, 2f, 3f)),
+      (Seq.empty[Float], Seq.empty[Float]),
+      (Seq(0f, 0f), Seq(1f, 1f))).toDF("a", "b")
+      .select(graft.ops.Similarity.cosine(col("a"), col("b")).as("c")).collect()
+    assert(deg(0).isNullAt(0))
+    assert(deg(1).getDouble(0).isNaN)
+    assert(deg(2).getDouble(0).isNaN)
+  }
+
   test("TokenStats equals the composed size/exists/min/max expressions") {
     val df = spark.sql(
       """SELECT * FROM VALUES
