@@ -575,6 +575,31 @@ object Queries {
       .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Exact word-set Jaccard between adjacent doc ids — the oracle-checked
+    * exact-similarity baseline behind the LSH candidate pipelines
+    * (the rerank math of q19, SQL-expressible end-to-end).
+    */
+  private def q31(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("w"))
+    val a = d.alias("a"); val b = d.alias("b")
+    a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        round(size(array_intersect(col("a.w"), col("b.w"))) /
+          size(array_union(col("a.w"), col("b.w"))).cast("double"), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"))
+      .limit(10)
+  }
+
+  private val q31Sql =
+    """WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+      |           FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+      |             len(list_distinct(list_concat(a.w, b.w))), 6) AS jaccard
+      |FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
+      |ORDER BY jaccard DESC, id_a LIMIT 10""".stripMargin
+
   // ----------------------------------------------------------------- table
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -607,6 +632,7 @@ object Queries {
     "q22_schema_infer"    -> QueryDef(q22, None),
     "q23_ann_lsh"         -> QueryDef(q23, None),
     "q24_media_features"  -> QueryDef(q24, None),
-    "q30_ann_ivf"         -> QueryDef(q30, None)
+    "q30_ann_ivf"         -> QueryDef(q30, None),
+    "q31_word_jaccard"    -> QueryDef(q31, Some(q31Sql))
   )
 }
