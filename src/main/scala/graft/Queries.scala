@@ -600,6 +600,28 @@ object Queries {
       |FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
       |ORDER BY jaccard DESC, id_a LIMIT 10""".stripMargin
 
+  /** Exact cosine similarity between adjacent embedding ids — oracle-
+    * checked against DuckDB's list_cosine_similarity over DOUBLE[] (both
+    * engines fold left-to-right in float64, so the rounded values agree
+    * exactly; the raw FLOAT[] path would compare float32 artifacts).
+    */
+  private def q32(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val a = e.alias("a"); val b = e.alias("b")
+    a.join(b, col("b.vec_id") === col("a.vec_id") + 1)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("id_a"))
+      .limit(20)
+  }
+
+  private val q32Sql =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+      |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      |ORDER BY cosine DESC, id_a LIMIT 20""".stripMargin
+
   // ----------------------------------------------------------------- table
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -633,6 +655,7 @@ object Queries {
     "q23_ann_lsh"         -> QueryDef(q23, None),
     "q24_media_features"  -> QueryDef(q24, None),
     "q30_ann_ivf"         -> QueryDef(q30, None),
-    "q31_word_jaccard"    -> QueryDef(q31, Some(q31Sql))
+    "q31_word_jaccard"    -> QueryDef(q31, Some(q31Sql)),
+    "q32_embed_cosine"    -> QueryDef(q32, Some(q32Sql))
   )
 }
