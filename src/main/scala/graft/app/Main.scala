@@ -99,7 +99,37 @@ object Main {
         res.schema.filter(_ => opts.get("export").contains("avro"))
           .foreach(s => println(graft.export.AvroExport.toAvro(s)))
 
-      case other => sys.error(s"unknown command '$other' (want synth|validate|throughput|infer)")
+      case "stream" =>
+        // continuous validation of a growing flat directory of parquet
+        // files (source as a data column); AvailableNow by default — the
+        // "incremental batch" deployment (schedule reruns; each picks up
+        // only new files). --follow runs an always-on daemon.
+        val input = opts("input")
+        val statePath = opts.getOrElse("state", s"$input-stream-state")
+        val dim = spark.read.parquet(opts.getOrElse("dim", s"$input-dim"))
+        val trigger =
+          if (opts.contains("follow"))
+            org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+              opts.getOrElse("follow", "30 seconds"))
+          else org.apache.spark.sql.streaming.Trigger.AvailableNow()
+        val q = graft.streaming.StreamingValidator.start(
+          spark, input, statePath, dim, Validator.SuiteConfig(), trigger)
+        q.awaitTermination()
+        graft.streaming.StreamingValidator.readStats(spark, statePath).foreach {
+          case (batchId, stats) =>
+            val rows = stats.map(_.getAs[Long]("n_rows")).sum
+            println(s"Stream state at batch $batchId: $rows rows across ${stats.length} sources.")
+        }
+        spark.read.parquet(graft.streaming.StreamingValidator.verdictsPath(statePath))
+          .collect()
+          .sortBy(r => (r.getAs[String]("source"), r.getAs[String]("check")))
+          .foreach { r =>
+            val mark = if (r.getAs[Boolean]("pass")) "PASS" else "FAIL"
+            println(f"  [$mark] ${r.getAs[String]("source")}%-8s ${r.getAs[String]("check")}%-17s " +
+              s"observed=${r.getAs[String]("observed")}")
+          }
+
+      case other => sys.error(s"unknown command '$other' (want synth|validate|throughput|infer|stream)")
     } finally spark.stop()
   }
 }
