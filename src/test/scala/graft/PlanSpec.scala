@@ -35,6 +35,13 @@ class PlanSpec extends AnyFunSuite {
       && pc.contains("partial_token_hist_agg"))
   }
 
+  test("violations filter evaluates one native mask, never inlined token_stats walks") {
+    val p = plan(Validator.violations(spark.read.parquet(seqDir), suite))
+    assert(!p.contains("token_stats"), "token_stats must not appear (5x-inline regression)")
+    val inFilter = "Filter".r.findAllIn(p).size >= 1
+    assert(inFilter && p.contains("violation_mask"))
+  }
+
   test("duplicateKeys scans only the needed columns") {
     val p = plan(Validator.duplicateKeys(spark.read.parquet(seqDir))
       .agg(count(lit(1))))
