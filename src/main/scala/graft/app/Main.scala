@@ -79,6 +79,13 @@ object Main {
               s"observed=${r.getAs[String]("observed")} expected=${r.getAs[String]("expected")}")
           }
         println(f"throughput: ${summary.totalRows / secs}%.0f validated sequences/sec ($secs%.1f s)")
+        if (opts.contains("suggest-ddl")) {
+          println("Suggested narrowest-fitting DDL (observed -> column):")
+          Validator.suggestDdl(summary.report.sourceStats.collect())
+            .foreach { case (s, c, obs, ddl) =>
+              println(f"  $s%-8s $c%-16s $obs%-24s -> $ddl")
+            }
+        }
 
       case "throughput" =>
         // bench body lives in graft.BenchScaling; this alias keeps the

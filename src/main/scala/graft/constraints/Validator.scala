@@ -351,6 +351,36 @@ object Validator {
       .toDF("source", "check", "pass", "observed", "expected")
   }
 
+  /** Suggested narrowest-fitting column DDL per source, derived from the
+    * observed stats — the reference's diagnose-then-fix loop closed
+    * (README.md:86-104 diagnoses truncation risk; json-type->col-type,
+    * mysql.clj:169-204, emits the column that WOULD fit). Driver-side
+    * over the KB-sized stats rows.
+    */
+  def suggestDdl(stats: Array[Row],
+                 dialect: graft.dbtypes.DbTypeTranslator = graft.dbtypes.MySqlTranslator)
+      : Seq[(String, String, String, String)] = {
+    import graft.types.{IntT, StrT}
+    stats.flatMap { r =>
+      val s = r.getAs[String]("source")
+      def intObs(mnF: String, mxF: String): Option[graft.types.SchemaType] =
+        for {
+          mn <- Option(r.getAs[Integer](mnF)); mx <- Option(r.getAs[Integer](mxF))
+        } yield IntT(BigInt(mn.toInt), BigInt(mx.toInt))
+      val cols = Seq(
+        "doc_id" -> (for {
+          mn <- Option(r.getAs[Integer]("min_docid_len"))
+          mx <- Option(r.getAs[Integer]("max_docid_len"))
+        } yield StrT(mn.toLong, mx.toLong)),
+        "n_tok" -> intObs("min_ntok", "max_ntok"),
+        "tokens_element" -> intObs("min_token", "max_token"))
+      cols.collect { case (colName, Some(obs)) =>
+        (s, colName, graft.types.SchemaType.render(obs),
+          dialect.schemaTypeToColType(obs))
+      }
+    }.toSeq.sortBy(t => (t._1, t._2))
+  }
+
   /** One-shot (non-resumable) validation of an in-memory DataFrame. */
   def validate(spark: SparkSession, df: DataFrame, dim: DataFrame,
                cfg: SuiteConfig = SuiteConfig()): ValidationReport = {

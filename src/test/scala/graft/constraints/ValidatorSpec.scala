@@ -75,6 +75,18 @@ class ValidatorSpec extends AnyFunSuite {
     assert(got == fullTop)
   }
 
+  test("suggested DDL is the narrowest column fitting the observed stats") {
+    val stats = Validator.sourceStats(df, suite).collect()
+    val ddl = Validator.suggestDdl(stats)
+      .map { case (s, c, _, d) => (s, c) -> d }.toMap
+    // doc_id is a fixed-width hex-ish string -> varchar(maxLen)
+    val maxLen = stats.map(_.getAs[Integer]("max_docid_len").toInt).max
+    assert(ddl(("web", "doc_id")) == s"varchar($maxLen)")
+    // n_tok fits an int everywhere
+    assert(ddl(("web", "n_tok")) == "int")
+    assert(ddl(("web", "tokens_element")) == "int")
+  }
+
   test("per-source verdicts fail exactly where violations were planted") {
     // ghost partition fails referential; real sources pass
     assert(!verdicts(("ghost", "referential")))
