@@ -308,6 +308,32 @@ object Validator {
       }.toSeq
     }
 
+    // declared bounds from the DIM TABLE (constraint spec as data, not
+    // config): sources(expected_min_ntok, expected_max_ntok exclusive,
+    // vocab_size) -> observed ranges must fit. Skipped when the caller's
+    // dim lacks the spec columns.
+    val dimBounds: Map[String, (Int, Int, Int)] = dim.flatMap { d =>
+      val f = d.schema.fieldNames.toSet
+      if (Set("expected_min_ntok", "expected_max_ntok", "vocab_size").subsetOf(f))
+        Some(d.getAs[String]("source") ->
+          ((d.getAs[Int]("expected_min_ntok"), d.getAs[Int]("expected_max_ntok"),
+            d.getAs[Int]("vocab_size"))))
+      else None
+    }.toMap
+    val dimFit = stats.flatMap { r =>
+      val s = r.getAs[String]("source")
+      dimBounds.get(s).map { case (lo, hiExcl, vs) =>
+        def oi(f: String) = Option(r.getAs[Integer](f)).map(_.toInt)
+        val pass =
+          oi("min_ntok").forall(_ >= lo) && oi("max_ntok").forall(_ < hiExcl) &&
+          oi("min_token").forall(_ >= 0) && oi("max_token").forall(_ < vs)
+        vRow(s, "dim_bounds", pass,
+          s"n_tok[${oi("min_ntok").getOrElse("-")},${oi("max_ntok").getOrElse("-")}] " +
+            s"tokens[${oi("min_token").getOrElse("-")},${oi("max_token").getOrElse("-")}]",
+          s"n_tok in [$lo,$hiExcl) tokens in [0,$vs)")
+      }
+    }.toSeq
+
     // completeness (reverse referential): every dim source must have data
     // — a silently missing partition is the upload failure the reference's
     // diagnosis use-case exists to catch before training reads the table
@@ -347,7 +373,7 @@ object Validator {
         s"$nKeys duplicated doc_ids ($nExtra extra rows)", "all doc_ids unique")
     }
 
-    (perSource.toSeq ++ completeness ++ drift ++ tokenDrift ++ global)
+    (perSource.toSeq ++ dimFit ++ completeness ++ drift ++ tokenDrift ++ global)
       .toDF("source", "check", "pass", "observed", "expected")
   }
 

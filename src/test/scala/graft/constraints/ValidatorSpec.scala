@@ -75,6 +75,17 @@ class ValidatorSpec extends AnyFunSuite {
     assert(got == fullTop)
   }
 
+  test("dim-table declared bounds: oov-planted source fails, spec-less dims skip") {
+    // the dim carries (expected_min_ntok, expected_max_ntok, vocab_size);
+    // web has planted oov tokens -> its dim_bounds verdict fails
+    assert(!verdicts(("web", "dim_bounds")))
+    // a dim WITHOUT the spec columns produces no dim_bounds verdicts
+    import spark.implicits._
+    val bareDim = Seq("web", "books", "code", "chat").toDF("source")
+    val rep = Validator.validate(spark, df, bareDim, suite)
+    assert(!rep.verdicts.collect().exists(_.getString(1) == "dim_bounds"))
+  }
+
   test("suggested DDL is the narrowest column fitting the observed stats") {
     val stats = Validator.sourceStats(df, suite).collect()
     val ddl = Validator.suggestDdl(stats)
