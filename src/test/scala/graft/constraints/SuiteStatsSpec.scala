@@ -78,6 +78,49 @@ class SuiteStatsSpec extends AnyFunSuite {
     assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
   }
 
+  test("fuzz: fused stats + mask violations equal the composed plans on a random null-riddled corpus") {
+    import spark.implicits._
+    // seeded pseudo-random corpus mixing every null/length/oov pattern
+    val rnd = new scala.util.Random(20260816L)
+    val rows: Seq[(String, Seq[Integer], Integer, String)] = (0 until 3000).map { i =>
+      val docId = if (rnd.nextInt(50) == 0) null
+                  else rnd.alphanumeric.take(1 + rnd.nextInt(20)).mkString
+      val len = rnd.nextInt(30)
+      val tokens: Seq[Integer] =
+        if (rnd.nextInt(40) == 0) null
+        else (0 until len).map { _ =>
+          rnd.nextInt(20) match {
+            case 0 => null: Integer
+            case 1 => Int.box(-rnd.nextInt(100))
+            case 2 => Int.box(suite.vocabSize + rnd.nextInt(100))
+            case _ => Int.box(rnd.nextInt(suite.vocabSize))
+          }
+        }
+      val nTok: Integer =
+        if (rnd.nextInt(30) == 0) null
+        else if (rnd.nextInt(4) == 0) Int.box(rnd.nextInt(600))
+        else Int.box(len)
+      (docId, tokens, nTok, s"src${rnd.nextInt(4)}")
+    }
+    val df = rows.toDF("doc_id", "tokens", "n_tok", "source")
+      .selectExpr("doc_id", "cast(tokens as array<int>) as tokens",
+        "cast(n_tok as int) as n_tok", "source")
+      .repartition(7).cache()
+    val fused = bySource(Validator.sourceStats(df, suite))
+    val composed = bySource(Validator.sourceStatsComposed(df, suite))
+    assert(fused.keySet == composed.keySet)
+    for (s <- fused.keySet; fld <- SuiteStatsAgg.schema.fieldNames
+           if fld != "hll_docid" && fld != "kll_ntok" && fld != "hist_token")
+      assert(Option(fused(s).getAs[Any](fld)) == Option(composed(s).getAs[Any](fld)),
+        s"$s.$fld")
+    for (s <- fused.keySet)
+      assert(fused(s).getAs[scala.collection.Seq[Long]]("hist_token").toSeq ==
+        composed(s).getAs[scala.collection.Seq[Long]]("hist_token").toSeq, s"$s.hist")
+    val fv = Validator.violations(df, suite)
+    val cv = Validator.violationsComposed(df, suite)
+    assert(fv.exceptAll(cv).isEmpty && cv.exceptAll(fv).isEmpty)
+  }
+
   test("fused stats handle degenerate rows like the composed plan (nulls everywhere)") {
     import spark.implicits._
     val weird = Seq[(String, Seq[Integer], Integer, String)](

@@ -47,6 +47,23 @@ class NativeExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: ShingleHashes bit-identity on random unicode/spacing strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val alphabet = "ab 字é\t.x  " // multi-space runs, tabs, CJK, accents
+    val texts = (0 until 800).map { _ =>
+      (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    for (k <- Seq(2, 3)) {
+      val mism = texts.toDF("text")
+        .withColumn("a", graft.ops.TextOps.shinglesComposed(col("text"), k))
+        .withColumn("b", graft.ops.TextOps.shingles(col("text"), k))
+        .filter(!(col("a") <=> col("b")))
+        .count()
+      assert(mism == 0, s"k=$k")
+    }
+  }
+
   test("RhpSignature is bit-identical to the composed zip_with/aggregate formula") {
     import spark.implicits._
     val vecs: Seq[Seq[Float]] =
