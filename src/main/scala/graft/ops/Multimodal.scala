@@ -85,6 +85,63 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("bytes", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("ok", BooleanType, nullable = false)))
+
+  /** Resize plumbing: per-partition batched transform binary->binary with
+    * typed (width, height) metadata on the output. The pixel work is
+    * stubbed (deterministic byte fold to a w*h-proportional payload); the
+    * schema contract, batching, and corrupt channel are the real pipeline.
+    */
+  def resize(media: DataFrame, width: Int, height: Int,
+             batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val outLen = math.max(1, (width * height) / 256)
+    val rdd = media.select("media_id", "kind", "bytes").rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        rows.map { r =>
+          if (r.isNullAt(2) || r.getAs[Array[Byte]](2).isEmpty)
+            Row(r.getLong(0), r.getString(1), null, width, height, false)
+          else {
+            val in = r.getAs[Array[Byte]](2)
+            val out = new Array[Byte](outLen)
+            var i = 0
+            while (i < in.length) { // stub: fold source bytes into the target
+              out(i % outLen) = (out(i % outLen) ^ in(i)).toByte
+              i += 1
+            }
+            Row(r.getLong(0), r.getString(1), out, width, height, true)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, resizedSchema)
+  }
+
+  /** Frame sampling for video rows: EXPLODE each video into every
+    * `everyNth` frame (built-in generator — violation of no-UDTF rule not
+    * needed). Frame count derives from metadata duration (stub: one frame
+    * per 40 ms); frame payloads are deterministic byte slices standing in
+    * for the decoded frames.
+    */
+  def sampleFrames(media: DataFrame, everyNth: Int = 10): DataFrame = {
+    val nFrames = (coalesce(col("meta.duration_ms"), lit(4000L)) / lit(40L)).cast("long")
+    media.filter(col("kind") === "video" && col("bytes").isNotNull)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), greatest(nFrames - 1, lit(0L)), lit(everyNth.toLong))))
+      .select(col("media_id"), col("frame_idx"),
+        // stub frame payload: rotate the source bytes by the frame index
+        concat(
+          substring(col("bytes"), (pmod(col("frame_idx"), lit(8)) + 1).cast("int"), lit(1 << 20)),
+          substring(col("bytes"), lit(1), pmod(col("frame_idx"), lit(8)).cast("int")))
+          .as("frame_bytes"))
+  }
+
   /** Deterministic synthetic media table for tests/benchmarks. */
   def synthMedia(spark: SparkSession, rows: Long, corruptEvery: Long = 97L): DataFrame = {
     val df = spark.range(0, rows).select(
