@@ -179,6 +179,19 @@ object Validator {
         cfg.tokenHistBins, cfg.vocabSize).as("hist_token"))
   }
 
+  /** Explicit skew tamer for pathological input layouts: range-partition
+    * on (source, doc_id). Hash partitioning on source alone puts a 90%-hot
+    * source behind one task; the range partitioner SAMPLES the key
+    * distribution and splits the hot source across contiguous doc_id
+    * ranges, so map-heavy stages (the violations scan, feature passes)
+    * lose their stragglers. Aggregation results are layout-invariant
+    * (the stats monoid merges per source regardless), so this is purely a
+    * wall-clock lever — apply it when the upstream layout is skewed, skip
+    * it when the scan is already balanced (it costs one full shuffle).
+    */
+  def balance(df: DataFrame, partitions: Int): DataFrame =
+    df.repartitionByRange(partitions, col("source"), col("doc_id"))
+
   /** Exact global duplicate keys: the one wide shuffle, over a two-column
     * projection. Returns (doc_id, n, sources).
     */

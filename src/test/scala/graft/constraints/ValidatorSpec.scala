@@ -75,6 +75,31 @@ class ValidatorSpec extends AnyFunSuite {
     assert(got == fullTop)
   }
 
+  test("hot-source skew: range balance evens partitions; verdicts layout-invariant") {
+    val hotCfg = SequenceSynth.Config(rows = 20000,
+      sourceWeights = Seq("web" -> 0.94, "books" -> 0.02, "code" -> 0.02, "chat" -> 0.02))
+    val hot = SequenceSynth.sequences(spark, hotCfg)
+      // pathological layout: everything hashed on source -> one fat partition
+      .repartition(16, col("source"))
+      .cache()
+    val balanced = Validator.balance(hot, 16).cache()
+    def partSizes(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.groupBy(spark_partition_id()).count().collect().map(_.getLong(1)).toSeq
+    val before = partSizes(hot)
+    val after = partSizes(balanced)
+    assert(before.max >= 0.9 * 20000, s"hot layout not skewed: $before")
+    assert(after.max <= 3000, s"range partitioner left a straggler: $after")
+    // results are layout-invariant
+    val hotDim = SequenceSynth.sourcesDim(spark, hotCfg)
+    val hotSuite = Validator.SuiteConfig(vocabSize = hotCfg.vocabSize,
+      minNtok = hotCfg.minNtok, maxNtok = hotCfg.maxNtok + 1)
+    val a = Validator.validate(spark, hot, hotDim, hotSuite).verdicts.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    val b = Validator.validate(spark, balanced, hotDim, hotSuite).verdicts.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(a == b)
+  }
+
   test("dim-table declared bounds: oov-planted source fails, spec-less dims skip") {
     // the dim carries (expected_min_ntok, expected_max_ntok, vocab_size);
     // web has planted oov tokens -> its dim_bounds verdict fails
