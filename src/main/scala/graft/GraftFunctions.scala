@@ -66,6 +66,11 @@ object GraftFunctions {
       (args: Seq[Expression]) =>
         ViolationMask(args(0), args(1), litInt(args(2), "vocab"),
           litInt(args(3), "min_ntok"), litInt(args(4), "max_ntok"))),
+    ("gen_tokens",
+      "gen_tokens(id, n, seed, vocab) - deterministic synthetic token array",
+      (args: Seq[Expression]) =>
+        graft.sequences.GenTokens(args(0), args(1),
+          litLong(args(2), "seed"), litInt(args(3), "vocab"))),
     ("kll_sketch_agg2",
       "kll_sketch_agg2(col, k) - KLL quantile sketch bytes (aggregate)",
       (args: Seq[Expression]) =>
