@@ -56,7 +56,7 @@ object Bench {
     val cfg = SequenceSynth.Config(rows = seqRows)
     val fs = new org.apache.hadoop.fs.Path(benchDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(fs.makeQualified(new org.apache.hadoop.fs.Path(benchDir)))) {
+    if (!fs.exists(fs.makeQualified(new org.apache.hadoop.fs.Path(s"$benchDir/_SUCCESS")))) { // a crashed synth leaves no marker
       SequenceSynth.write(spark, cfg, benchDir, buckets = cpus.toInt)
       SequenceSynth.sourcesDim(spark, cfg).write.mode("overwrite").parquet(s"$benchDir-dim")
     }

@@ -41,7 +41,7 @@ object BenchScaling {
     val cfg = SequenceSynth.Config(rows = rows)
     val fs = new org.apache.hadoop.fs.Path(input)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(fs.makeQualified(new org.apache.hadoop.fs.Path(input)))) {
+    if (!fs.exists(fs.makeQualified(new org.apache.hadoop.fs.Path(s"$input/_SUCCESS")))) { // a crashed synth leaves no marker
       SequenceSynth.write(spark, cfg, input, buckets = 32)
       SequenceSynth.sourcesDim(spark, cfg).write.mode("overwrite").parquet(s"$input-dim")
     }
