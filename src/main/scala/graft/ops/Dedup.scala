@@ -1,20 +1,36 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for web-scale corpora. All are expressed as
   * declarative plans (hash aggregates + explode/band joins) so Catalyst
   * keeps partial aggregation map-side and AQE handles skew; nothing
   * collects to the driver.
+  *
+  * Caching note: the candidate-mining functions persist their narrow
+  * signature tables (id + a few longs per doc) when `materialize = true`
+  * so the corpus is shingled/hashed ONCE instead of once per join side.
+  * The cached table lives until the session drops it — callers running
+  * many mining passes in one long-lived session should
+  * `spark.catalog.clearCache()` after consuming the candidates (or pass
+  * `materialize = false` to trade the second scan for zero cache
+  * footprint).
   */
 object Dedup {
 
-  /** Exact duplicate groups by full content: (key, n, keep_id, drop_ids).
+  /** Exact duplicate groups: (dup_hash, n, keep_id, all_ids), one row per
+    * content with more than one occurrence. Groups by the 64-bit content
+    * hash, NOT the text itself: at corpus scale the full body must never
+    * become shuffle-key material (only ids and one long cross the wire).
+    * Hash collisions are negligible at 64 bits; pipelines that need
+    * certainty can re-verify texts within each (tiny) group.
     * `keep` picks the minimum id as the canonical representative.
     */
   def exactGroups(df: DataFrame, text: Column, id: Column): DataFrame =
-    df.groupBy(text.as("dup_text"))
+    df.groupBy(xxhash64(text).as("dup_hash"))
       .agg(count(lit(1)).as("n"), min(id).as("keep_id"),
         sort_array(collect_list(id)).as("all_ids"))
       .filter(col("n") > 1)
@@ -25,7 +41,7 @@ object Dedup {
     * verification re-check can compare texts within groups.
     */
   def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    val w = Window
       .partitionBy(xxhash64(col(textCol)))
       .orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w))
@@ -73,20 +89,8 @@ object Dedup {
     // shingles) would dominate the join without finding near-dups. One
     // window pass over the (band, band_hash) shuffle does it — no second
     // scan + agg + join.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("band_hash"))
-    val bucketed = sigs
-      .withColumn("__bsz", count(lit(1)).over(w))
-      .filter(col("__bsz") <= maxBucket)
-      .drop("__bsz")
-    // the signature table is ~perms longs + an id per doc — a tiny
-    // fraction of the corpus. Materializing it means the text is
-    // shingled+minhashed ONCE; without it each side of the self-join
-    // re-reads and re-hashes the full corpus.
-    val pruned =
-      if (materialize)
-        bucketed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else bucketed
+    val pruned = capBuckets(sigs, Seq(col("band"), col("band_hash")), maxBucket,
+      materialize)
 
     // bucket-local pair generation: same (band, band_hash), id < id2;
     // est_jaccard is computed INSIDE the join and only narrow columns
@@ -105,26 +109,40 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** SimHash near-duplicate candidates: signature per doc, then pairs
-    * within identical signature prefixes (cheap blocking) filtered by
-    * Hamming distance.
+  /** SimHash near-duplicate candidates via the multi-block rotation
+    * scheme (Manku et al., WWW'07): the 64-bit signature is split into
+    * `blocks` contiguous pieces and docs are blocked on EACH piece. By
+    * pigeonhole, any pair within Hamming distance `blocks - 1` shares at
+    * least one identical block, so recall is guaranteed for
+    * maxHamming <= blocks - 1 (and empirically near-total well beyond).
+    * A per-(block, key) bucket cap bounds the B^2/2 pair blowup of
+    * degenerate blocks, mirroring [[minhashCandidates]].
     */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        maxHamming: Int = 6, prefixBits: Int = 16,
+                        maxHamming: Int = 6, blocks: Int = 4,
+                        maxBucket: Int = 256,
                         materialize: Boolean = true): DataFrame = {
+    require(blocks >= 1 && blocks <= 16, "blocks must be in [1, 16]")
+    val width = 64 / blocks
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val pieces = (0 until blocks).map { b =>
+      struct(lit(b).as("blk"),
+        shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask)).as("key"))
+    }
     val sigs = df.select(col(idCol).as("id"),
-      SimHash64.simhash(TextOps.shingles(col(textCol), 3)).as("sig"))
-    val blocked = sigs.withColumn("block",
-      shiftrightunsigned(col("sig"), 64 - prefixBits))
-    val withBlock =
-      if (materialize)
-        blocked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else blocked
-    val l = withBlock.alias("l"); val r = withBlock.alias("r")
-    l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+        SimHash64.simhash(TextOps.shingles(col(textCol), 3)).as("sig"))
+      .withColumn("piece", explode(array(pieces: _*)))
+      .select(col("id"), col("sig"),
+        col("piece.blk").as("blk"), col("piece.key").as("key"))
+    val pruned = capBuckets(sigs, Seq(col("blk"), col("key")), maxBucket,
+      materialize)
+    val l = pruned.alias("l"); val r = pruned.alias("r")
+    l.join(r, col("l.blk") === col("r.blk") && col("l.key") === col("r.key") &&
+        col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         SimHash64.hamming(col("l.sig"), col("r.sig")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact n-gram Jaccard similarity for given candidate id pairs
@@ -144,21 +162,52 @@ object Dedup {
   }
 
   /** Embedding near-duplicates: cosine >= threshold among candidate pairs
-    * blocked by random-hyperplane LSH (see [[Similarity.rhpSignature]]).
+    * blocked by `tables` INDEPENDENT random-hyperplane signature tables
+    * (seeds seed..seed+tables-1), OR'd — the standard banded-LSH recall
+    * amplification. A single table of p planes finds a pair at angle
+    * theta with probability (1 - theta/pi)^p (~0.29 at cosine 0.9 with
+    * p=8 — round-1's silent recall hole); b OR'd tables lift that to
+    * 1 - (1 - q)^b. Candidate volume per table is ~n^2/2^p, so `planes`
+    * trades recall against join size; scale corpora up by raising
+    * `planes` and compensating with `tables`.
     */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
-                        threshold: Double = 0.95, planes: Int = 16,
-                        seed: Long = 7L, materialize: Boolean = true): DataFrame = {
-    val blocked = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("block", Similarity.rhpSignature(col("v"), planes, seed))
-    val sigs =
-      if (materialize)
-        blocked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else blocked
-    val l = sigs.alias("l"); val r = sigs.alias("r")
-    l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))
-      .withColumn("cosine", Similarity.cosine(col("l.v"), col("r.v")))
+                        threshold: Double = 0.95, planes: Int = 8,
+                        tables: Int = 16, seed: Long = 7L,
+                        maxBucket: Int = 1 << 20,
+                        materialize: Boolean = true): DataFrame = {
+    val sigStructs = (0 until tables).map { t =>
+      struct(lit(t).as("t"),
+        Similarity.rhpSignature(col("v"), planes, seed + t).as("blk"))
+    }
+    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("piece", explode(array(sigStructs: _*)))
+      .select(col("id"), col("v"),
+        col("piece.t").as("t"), col("piece.blk").as("blk"))
+    val pruned = capBuckets(sigs, Seq(col("t"), col("blk")), maxBucket,
+      materialize)
+    val l = pruned.alias("l"); val r = pruned.alias("r")
+    // cosine is evaluated inside the bucket-local join (once per shared
+    // table); only (id_a, id_b, cosine) survives into the pair dedup
+    l.join(r, col("l.t") === col("r.t") && col("l.blk") === col("r.blk") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        Similarity.cosine(col("l.v"), col("r.v")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("cosine"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** One window pass over the bucket-key shuffle drops buckets larger
+    * than `maxBucket`, then (optionally) persists the narrow signature
+    * table so the self-join's two sides share one derivation.
+    */
+  private def capBuckets(sigs: DataFrame, keys: Seq[Column], maxBucket: Int,
+                         materialize: Boolean): DataFrame = {
+    val w = Window.partitionBy(keys: _*)
+    val capped = sigs
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+    if (materialize) capped.persist(StorageLevel.MEMORY_AND_DISK) else capped
   }
 }

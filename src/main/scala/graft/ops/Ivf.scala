@@ -28,6 +28,23 @@ object Ivf {
 
   final case class Index(centroids: Array[Array[Float]], assigned: DataFrame)
 
+  /** Lloyd means are accumulated as quantized longs (x * 2^20, rounded):
+    * integer addition is exactly commutative/associative, so the trained
+    * centroids are BIT-DETERMINISTIC regardless of partial-merge order —
+    * a double-precision avg() would drift between runs with shuffle
+    * nondeterminism. 2^-20 quantization is far below any useful
+    * coarse-quantizer resolution.
+    */
+  private val MeanQuantum = (1L << 20).toDouble
+
+  /** Read an array<float> or array<double> row cell as Array[Float]. */
+  private def rowVec(r: org.apache.spark.sql.Row): Array[Float] =
+    r.getSeq[Any](0).map {
+      case f: Float  => f
+      case d: Double => d.toFloat
+      case null      => 0f
+    }.toArray
+
   /** Deterministic centroid training.
     *  - seeds: the `nlist` rows with smallest xxhash64(id, seed) — a
     *    uniform deterministic sample, planned as TakeOrderedAndProject
@@ -40,10 +57,11 @@ object Ivf {
                      nlist: Int, seed: Long = 7L, refineIters: Int = 2,
                      sampleMod: Int = 1): Array[Array[Float]] = {
     var cents: Array[Array[Float]] =
-      df.select(col(vecCol).as("v"), xxhash64(col(idCol), lit(seed)).as("h"))
-        .orderBy(col("h")).limit(nlist)
+      df.select(col(vecCol).as("v"), col(idCol).as("i"),
+          xxhash64(col(idCol), lit(seed)).as("h"))
+        .orderBy(col("h"), col("i")).limit(nlist)
         .select(col("v")).collect()
-        .map(_.getSeq[Float](0).toArray)
+        .map(rowVec)
 
     val sample =
       if (sampleMod <= 1) df.select(col(vecCol).as("v"))
@@ -52,17 +70,21 @@ object Ivf {
 
     var it = 0
     while (it < refineIters) {
-      // assign sample -> mean per (cell, dimension); empty cells keep
-      // their previous centroid (standard Lloyd degenerate-cell rule)
+      // assign sample -> quantized-sum mean per (cell, dimension); empty
+      // cells keep their previous centroid (standard Lloyd degenerate-
+      // cell rule)
       val means = sample
         .withColumn("cell", nearestCell(col("v"), cents))
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("cell"),
+          posexplode(col("v").cast("array<double>")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("x")).as("m"))
+        .agg(sum(round(col("x") * MeanQuantum).cast("long")).as("s"),
+          count(lit(1)).as("c"))
         .collect()
       val next = cents.map(_.clone())
       means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+        next(r.getInt(0))(r.getInt(1)) =
+          (r.getLong(2) / (r.getLong(3) * MeanQuantum)).toFloat
       }
       cents = next
       it += 1
@@ -110,13 +132,46 @@ object Ivf {
       .limit(k)
   }
 
-  /** One-shot convenience: train + assign + query in a single call. */
+  /** One-shot convenience: train + assign + query in a single call.
+    * For repeated queries build once and either keep the [[Index]] or
+    * [[writeIndex]] it — retraining per query is the expensive part.
+    */
   def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
               query: Seq[Float], k: Int, nlist: Int = 64, nProbe: Int = 8,
               seed: Long = 7L, refineIters: Int = 2,
               sampleMod: Int = 1): DataFrame =
     topK(build(df, vecCol, idCol, nlist, seed, refineIters, sampleMod),
       vecCol, idCol, query, k, nProbe)
+
+  /** Persist an index: the assigned table partitioned BY CELL (so a probe
+    * reads only its nProbe/nlist slice of the corpus via partition
+    * pruning — `PartitionFilters: [__cell IN (...)]` in the probe scan,
+    * pinned by PlanSpec) plus the KB-sized centroid table.
+    */
+  def writeIndex(index: Index, dir: String): Unit = {
+    val spark = index.assigned.sparkSession
+    index.assigned.write.mode("overwrite")
+      .partitionBy("__cell").parquet(s"$dir/assigned")
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Reopen a persisted index. The assigned frame is the partitioned
+    * parquet scan — filters on `__cell` prune at the file-listing level,
+    * never touching unprobed cells' bytes.
+    */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Index = {
+    val byCell = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Any](1).map {
+        case f: Float => f
+        case d: Double => d.toFloat
+        case null => 0f
+      }.toArray).toMap
+    Index(Array.tabulate(byCell.size)(byCell), spark.read.parquet(s"$dir/assigned"))
+  }
 
   def nearestCell(vec: Column, centroids: Array[Array[Float]]): Column =
     ColumnBridge.column(NearestCell(ColumnBridge.expression(vec), centroids.map(_.toSeq).toSeq))

@@ -70,19 +70,33 @@ object Similarity {
       .limit(k)
   }
 
-  /** ANN top-k: probe only vectors sharing the query's LSH bucket (or any
-    * bucket within `multiProbe` flipped bits), rerank exactly. Falls back
-    * to nothing found -> caller widens probes. Returns the same schema as
+  /** ANN top-k: probe every vector whose LSH bucket is within
+    * `multiProbe` flipped bits of the query's bucket (multi-probe LSH,
+    * Lv et al. VLDB'07 — one signature table probed at Hamming <=
+    * multiProbe instead of many tables), rerank the probed candidates
+    * exactly. multiProbe = 0 is the classic single-bucket probe; each
+    * increment multiplies the probed buckets by ~planes/level and lifts
+    * recall accordingly. The probed signature set (sum_{i<=m} C(planes,i)
+    * values) is enumerated driver-side and pushed as an IN filter, so the
+    * scan stays a single filtered pass. Returns the same schema as
     * [[bruteTopK]].
     */
   def lshTopK(df: DataFrame, vecCol: String, idCol: String,
               query: Seq[Float], k: Int, planes: Int = 12,
-              seed: Long = 7L): DataFrame = {
+              multiProbe: Int = 0, seed: Long = 7L): DataFrame = {
+    require(multiProbe >= 0 && multiProbe <= planes,
+      "multiProbe must be in [0, planes]")
     val q = array(query.map(v => lit(v)): _*)
     val bucketed = df.withColumn("__sig", rhpSignature(col(vecCol), planes, seed))
-    val querySig = bucketed.sparkSession.range(1)
+    val querySig: Long = bucketed.sparkSession.range(1)
       .select(rhpSignature(q, planes, seed).as("qsig"))
-    bucketed.join(broadcast(querySig), col("__sig") === col("qsig"))
+      .collect()(0).getLong(0)
+    val probes: Seq[Long] = (0 to multiProbe).flatMap { m =>
+      (0 until planes).combinations(m).map { bits =>
+        bits.foldLeft(querySig)((s, b) => s ^ (1L << b))
+      }
+    }
+    bucketed.filter(col("__sig").isin(probes: _*))
       .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)

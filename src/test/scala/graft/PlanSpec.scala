@@ -84,6 +84,45 @@ class PlanSpec extends AnyFunSuite {
       s"corpus must be shingled once, plan:\n$p")
   }
 
+  test("IVF probe over a persisted index prunes unprobed cells at the scan") {
+    import graft.ops.{Ivf, Similarity}
+    import spark.implicits._
+    val vecs = (0 until 400).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 13 + j * 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Ivf.writeIndex(Ivf.build(vecs, "embedding", "vec_id", nlist = 8), dir)
+    val idx = Ivf.readIndex(spark, dir)
+    val query = Seq.tabulate(8)(j => math.sin(3 * 13 + j * 5).toFloat)
+    val probed = Ivf.topK(idx, "embedding", "vec_id", query, 5, nProbe = 2)
+    val p = plan(probed)
+    assert(p.contains("PartitionFilters: [__cell"),
+      s"probe must prune by cell partition:\n$p")
+    // probing all cells over the persisted index == brute force
+    val full = Ivf.topK(idx, "embedding", "vec_id", query, 5, nProbe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.bruteTopK(vecs, "embedding", "vec_id", query, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == brute)
+  }
+
+  test("IVF training is bit-deterministic across runs") {
+    import graft.ops.Ivf
+    import spark.implicits._
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Seq.tabulate(6)(j => math.sin(i * 7 + j * 3).toFloat))
+    }.toDF("vec_id", "embedding").repartition(8)
+    val a = Ivf.trainCentroids(vecs, "embedding", "vec_id", nlist = 5, refineIters = 3)
+    val b = Ivf.trainCentroids(vecs, "embedding", "vec_id", nlist = 5, refineIters = 3)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // double-typed vectors train too (round-1 regression: getSeq[Float] crash)
+    val dvecs = (0 until 100).map { i =>
+      (i.toLong, Seq.tabulate(6)(j => math.sin(i * 7 + j * 3)))
+    }.toDF("vec_id", "embedding")
+    val c = Ivf.trainCentroids(dvecs, "embedding", "vec_id", nlist = 3, refineIters = 1)
+    assert(c.length == 3)
+  }
+
   test("brute-force top-k plans as TakeOrderedAndProject (no global sort)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val p = plan(graft.ops.Similarity.bruteTopK(

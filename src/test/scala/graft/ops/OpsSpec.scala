@@ -62,6 +62,79 @@ class OpsSpec extends AnyFunSuite {
     assert(ham(sigs(0L), sigs(6L)) > 16)
   }
 
+  test("simhash rotation blocking finds every pair within hamming <= blocks-1, wherever the bits differ") {
+    val cands = Dedup.simhashCandidates(corpus, "text", "id", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // brute-force truth over the collected signatures
+    val sigs = corpus.select(col("id"),
+      SimHash64.simhash(TextOps.shingles(col("text"), 3)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val truth = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 6
+    } yield (ia, ib) -> h).toMap
+    // pigeonhole guarantee: hamming <= 3 pairs MUST be candidates; on this
+    // corpus the planted pairs (hamming 0 and <= 6) are all found too
+    assert(truth.keySet == cands.keySet, s"truth=$truth cands=$cands")
+    truth.foreach { case (p, h) => assert(cands(p) == h) }
+    assert(cands.contains((0L, 1L)) && cands((0L, 1L)) == 0)
+  }
+
+  test("embedding near-dup multi-table LSH: recall >= 0.95 on planted cosine-0.9 pairs") {
+    // 40 base unit-ish vectors; each gets a planted near-dup at cosine ~0.9
+    // (mix with a deterministic orthogonal-ish perturbation)
+    val dim = 16
+    def baseVec(i: Int): Array[Double] =
+      Array.tabulate(dim)(j => math.sin(i * 31 + j * 7 + 1))
+    val rows = (0 until 40).flatMap { i =>
+      val b = baseVec(i)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      val unit = b.map(_ / nb)
+      val pert = Array.tabulate(dim)(j => math.cos(i * 17 + j * 13 + 3))
+      // remove the parallel component, keep the orthogonal one
+      val dotUp = unit.zip(pert).map { case (u, p) => u * p }.sum
+      val orth = pert.zipWithIndex.map { case (p, j) => p - dotUp * unit(j) }
+      val no = math.sqrt(orth.map(x => x * x).sum)
+      // v2 = cos(theta) u + sin(theta) orth_unit with cos(theta) = 0.92
+      val c = 0.92; val s = math.sqrt(1 - c * c)
+      val v2 = unit.zipWithIndex.map { case (u, j) => c * u + s * orth(j) / no }
+      Seq((2L * i, unit.map(_.toFloat).toSeq), (2L * i + 1, v2.map(_.toFloat).toSeq))
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val found = Dedup.embeddingNearDups(vecs, "embedding", "vec_id",
+        threshold = 0.9, planes = 8, tables = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 40).map(i => (2L * i, 2L * i + 1)).toSet
+    val recall = (planted & found).size.toDouble / planted.size
+    assert(recall >= 0.95, s"recall $recall; missed ${planted -- found}")
+    // and everything reported truly clears the threshold (exact rerank)
+    val exact = Dedup.embeddingNearDups(vecs, "embedding", "vec_id",
+        threshold = 0.9, planes = 8, tables = 16)
+      .collect().map(_.getDouble(2))
+    exact.foreach(c => assert(c >= 0.9))
+  }
+
+  test("lshTopK multi-probe widens recall monotonically and never fabricates rows") {
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 13 + j * 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val query = Seq.tabulate(8)(j => math.sin(3 * 13 + j * 5).toFloat) // = vec 3
+    val brute = Similarity.bruteTopK(vecs, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recalls = Seq(0, 2, 8).map { m =>
+      val got = Similarity.lshTopK(vecs, "embedding", "vec_id", query, 10,
+        planes = 8, multiProbe = m).collect().map(_.getLong(0)).toSet
+      assert(got.size <= 10)
+      (brute & got).size
+    }
+    assert(recalls == recalls.sorted, s"non-monotone recalls $recalls")
+    // probing all 2^planes buckets (multiProbe = planes) IS brute force
+    assert(recalls.last == 10)
+    val full = Similarity.lshTopK(vecs, "embedding", "vec_id", query, 10,
+      planes = 8, multiProbe = 8).collect().map(_.getLong(0)).toSet
+    assert(full == brute)
+  }
+
   test("language ID classifies stopword-bearing text deterministically") {
     val preds = corpus.select(col("id"), TextOps.langId(col("text")).as("lang"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
