@@ -109,26 +109,58 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** SimHash near-duplicate candidates via the multi-block rotation
-    * scheme (Manku et al., WWW'07): the 64-bit signature is split into
-    * `blocks` contiguous pieces and docs are blocked on EACH piece. By
-    * pigeonhole, any pair within Hamming distance `blocks - 1` shares at
-    * least one identical block, so recall is guaranteed for
-    * maxHamming <= blocks - 1 (and empirically near-total well beyond).
-    * A per-(block, key) bucket cap bounds the B^2/2 pair blowup of
-    * degenerate blocks, mirroring [[minhashCandidates]].
+  /** Deterministic bit-partition masks for multi-table SimHash blocking:
+    * `tables` independent partitions of the 64 signature bits into
+    * `blocks` equal-width masks, shuffled by a self-contained
+    * LCG Fisher-Yates (no dependence on scala.util.Random internals).
+    * Table 0 with blocks=4 behaves like the classic contiguous split in
+    * guarantee terms — any partition gives the pigeonhole property.
+    */
+  private[graft] def blockMasks(blocks: Int, tables: Int, seed: Long): Seq[Seq[Long]] = {
+    val width = 64 / blocks
+    (0 until tables).map { t =>
+      val bits = Array.tabulate(64)(identity)
+      var state = seed * 0x9E3779B97F4A7C15L + (t + 1) * 0xBF58476D1CE4E5B9L
+      def nextInt(bound: Int): Int = {
+        state = state * 6364136223846793005L + 1442695040888963407L
+        (((state >>> 33) % bound + bound) % bound).toInt
+      }
+      var i = 63
+      while (i > 0) {
+        val j = nextInt(i + 1)
+        val tmp = bits(i); bits(i) = bits(j); bits(j) = tmp
+        i -= 1
+      }
+      (0 until blocks).map(b => bits.slice(b * width, (b + 1) * width)
+        .foldLeft(0L)((m, bit) => m | (1L << bit)))
+    }
+  }
+
+  /** SimHash near-duplicate candidates via multi-table block matching
+    * (Manku et al., WWW'07): each of `tables` independent partitions
+    * splits the 64 signature bits into `blocks` masks; docs are blocked
+    * on (table, block, sig AND mask) — equal masked values means equal on
+    * that block's bit positions, no bit-gathering needed. By pigeonhole,
+    * any pair within Hamming distance `blocks - 1` shares a block in
+    * EVERY table, so recall is guaranteed there; beyond it, each extra
+    * table independently re-rolls the bit partition and catches pairs
+    * whose differing bits straddle all blocks of the others (miss
+    * probability ~(1 - P_onePartition)^tables). A per-bucket cap bounds
+    * the B^2/2 pair blowup of degenerate blocks, mirroring
+    * [[minhashCandidates]].
     */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         maxHamming: Int = 6, blocks: Int = 4,
+                        tables: Int = 1, seed: Long = 7L,
                         maxBucket: Int = 256,
                         materialize: Boolean = true): DataFrame = {
     require(blocks >= 1 && blocks <= 16, "blocks must be in [1, 16]")
-    val width = 64 / blocks
-    val mask = if (width == 64) -1L else (1L << width) - 1
-    val pieces = (0 until blocks).map { b =>
-      struct(lit(b).as("blk"),
-        shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask)).as("key"))
-    }
+    require(tables >= 1, "need at least one table")
+    val masks = blockMasks(blocks, tables, seed)
+    val pieces = for {
+      t <- 0 until tables; b <- 0 until blocks
+    } yield struct(lit(t * blocks + b).as("blk"),
+      col("sig").bitwiseAND(lit(masks(t)(b))).as("key"))
     val sigs = df.select(col(idCol).as("id"),
         SimHash64.simhash(TextOps.shingles(col(textCol), 3)).as("sig"))
       .withColumn("piece", explode(array(pieces: _*)))

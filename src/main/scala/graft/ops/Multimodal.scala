@@ -47,7 +47,11 @@ object Multimodal {
     def decode(batch: Seq[(Long, String, Array[Byte])]): Seq[(Long, String, Int, Boolean, Array[Float])]
   }
 
-  /** Deterministic fake: 8 floats derived from byte statistics. Corrupt
+  /** Deterministic fake: 8 floats derived from byte statistics — lane j
+    * is the mean brightness of bytes at positions ≡ j (mod 8). The lane
+    * sums accumulate as exact integers (order-invariant), with exactly
+    * two IEEE divisions at the end, so the value is reproducible by any
+    * engine summing the same bytes (the q24 DuckDB oracle does). Corrupt
     * (null/empty) payloads yield ok=false with a null feature, exercising
     * the error channel the real decoder will use.
     */
@@ -56,13 +60,14 @@ object Multimodal {
       batch.map { case (id, kind, bytes) =>
         if (bytes == null || bytes.isEmpty) (id, kind, 0, false, null)
         else {
-          val feat = new Array[Float](8)
+          val sums = new Array[Long](8)
           var i = 0
           while (i < bytes.length) {
-            feat(i % 8) += (bytes(i) & 0xff) / 255.0f
+            sums(i % 8) += (bytes(i) & 0xff)
             i += 1
           }
-          (id, kind, bytes.length, true, feat.map(_ / math.max(1, bytes.length / 8)))
+          val div = math.max(1, bytes.length / 8).toDouble
+          (id, kind, bytes.length, true, sums.map(s => (s / 255.0 / div).toFloat))
         }
       }
   }
