@@ -327,11 +327,15 @@ object Validator {
     // dim lacks the spec columns.
     val dimBounds: Map[String, (Int, Int, Int)] = dim.flatMap { d =>
       val f = d.schema.fieldNames.toSet
-      if (Set("expected_min_ntok", "expected_max_ntok", "vocab_size").subsetOf(f))
-        Some(d.getAs[String]("source") ->
-          ((d.getAs[Int]("expected_min_ntok"), d.getAs[Int]("expected_max_ntok"),
-            d.getAs[Int]("vocab_size"))))
-      else None
+      if (Set("expected_min_ntok", "expected_max_ntok", "vocab_size").subsetOf(f)) {
+        // a NULL spec value means "no bound declared for this source" —
+        // skip the check rather than letting the null unbox to 0 and
+        // produce bogus verdicts (every source failing tokens < 0)
+        def oi(n: String): Option[Int] = Option(d.getAs[Integer](n)).map(_.toInt)
+        for (lo <- oi("expected_min_ntok"); hi <- oi("expected_max_ntok");
+             vs <- oi("vocab_size"))
+          yield d.getAs[String]("source") -> ((lo, hi, vs))
+      } else None
     }.toMap
     val dimFit = stats.flatMap { r =>
       val s = r.getAs[String]("source")

@@ -71,11 +71,19 @@ object JsonParser {
       JObj(n.properties().asScala.map(e => e.getKey -> fromJackson(e.getValue)).toMap)
     else JStr(n.toString)
 
-  /** Reference order first (one peel, then the raw string —
-    * parser.clj:92-126), then keep peeling: the reference's own goldens
-    * (parser_test.clj:6-21 over nested-escaped-json*.js) require revival
-    * at escape depth > 1 ("unescaped one level at a time and re-parsed
-    * recursively"). Each level removes one backslash per quote, so the
+  /** Reference attempt order first (one peel, then the raw string —
+    * parser.clj:92-126), then KEEP peeling until a parse succeeds.
+    *
+    * The extra peeling is a DELIBERATE deviation from the literal
+    * reference code, forced by its own golden: nested-escaped-json.js
+    * (parser_test.clj:6-13) carries level-2 values escaped TWO levels
+    * deep (`\\\"` -> after one peel `\\"` -> the `\\` escape closes the
+    * quoted string early, still invalid JSON), so unescape-one-level
+    * alone can never revive it — only a second peel of the same string
+    * can. We treat the golden as the semantic spec over the code it
+    * tests. Consequence (pinned in ParserSpec): strings needing >= 2
+    * peels are revived here where the literal reference code would leave
+    * them as strings. Each level removes one backslash per quote, so the
     * loop strictly shrinks and is bounded.
     */
   private def parseRevived(s: String): Option[JValue] =

@@ -153,7 +153,17 @@ object StreamingValidator {
                                       dimRows: Array[Row], cfg: SuiteConfig): Unit = {
     val prev = readStats(spark, statePath)
     val lastBatch = prev.map(_._1).getOrElse(-1L)
-    if (batchId <= lastBatch) return // replay of an already-merged batch
+    if (batchId <= lastBatch) {
+      // replay of an already-merged batch: the merge must NOT re-apply,
+      // but a crash between writeStats and the verdicts write would have
+      // left verdicts stale — rewrite them from the stored stats so the
+      // replay repairs the partial commit (idempotent either way)
+      prev.foreach { case (_, rows) =>
+        verdictsFromStats(spark, rows, dimRows, cfg)
+          .coalesce(1).write.mode("overwrite").parquet(verdictsPath(statePath))
+      }
+      return
+    }
 
     Validator.violations(batch, cfg)
       .withColumn("batch_id", lit(batchId))
@@ -185,6 +195,12 @@ object StreamingValidator {
     val ptr = new org.apache.hadoop.fs.Path(s"${statsPath(statePath)}/CURRENT")
     val out = fs.create(ptr, true)
     out.write(s"gen-$batchId".getBytes("UTF-8")); out.close()
+    // superseded generations are garbage once the pointer flips — delete
+    // them so state stays O(1) instead of growing per batch
+    fs.listStatus(new org.apache.hadoop.fs.Path(statsPath(statePath)))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-") &&
+        s.getPath.getName != s"gen-$batchId")
+      .foreach(s => fs.delete(s.getPath, true))
   }
 
   def readStats(spark: SparkSession, statePath: String): Option[(Long, Array[Row])] = {

@@ -63,6 +63,20 @@ final class DateSniffer(val patterns: Seq[String]) extends Serializable {
   def isDate(s: String): Boolean = matching(s).nonEmpty
 }
 
+/** The special-scalar extension channel (reference extract.clj:81-90:
+  * special-id?/make-special — "prove out we can do things like handle
+  * mongo's date and id representations"). A recognizer claims a value and
+  * maps it to a [[SpecialT]]; registered recognizers are consulted FIRST,
+  * before every built-in kind, mirroring the reference cond order
+  * (extract.clj:115-116 puts `special?` ahead of even `null?`). The
+  * reference ships only the always-false stub; the default registry here
+  * is correspondingly empty.
+  */
+trait SpecialScalar extends Serializable {
+  def name: String
+  def matches(x: JValue): Boolean
+}
+
 /** Per-value type extraction (reference extract.clj:111-132): value ->
   * scalar type with stats; object -> DocT (recurse per key); array ->
   * collection whose element types are unified eagerly BY THE POLICY'S
@@ -71,23 +85,28 @@ final class DateSniffer(val patterns: Seq[String]) extends Serializable {
   */
 final class TypeExtractor(
     policy: MergePolicy,
-    dateFormatPatterns: Seq[String] = Nil) extends Serializable {
+    dateFormatPatterns: Seq[String] = Nil,
+    specials: Seq[SpecialScalar] = Nil) extends Serializable {
 
   private val sniffer = new DateSniffer(dateFormatPatterns)
 
-  def extract(x: JValue): SchemaType = x match {
-    case JNull       => NullT
-    case JBool(_)    => BoolT
-    case JInt(v)     => IntT(v, v)
-    case JReal(v)    => RealT(v, v)
-    case JStr(s) =>
-      val fmts = sniffer.matching(s)
-      if (fmts.nonEmpty) DateT(fmts.toSet) else StrT.of(s)
-    case JObj(fields) =>
-      DocT(fields.map { case (k, v) => k -> extract(v) })
-    case JArr(items) =>
-      policy.turnIntoCollection(items.map(extract))
-  }
+  def extract(x: JValue): SchemaType =
+    specials.find(_.matches(x)) match {
+      case Some(sp) => SpecialT(sp.name)
+      case None => x match {
+        case JNull       => NullT
+        case JBool(_)    => BoolT
+        case JInt(v)     => IntT(v, v)
+        case JReal(v)    => RealT(v, v)
+        case JStr(s) =>
+          val fmts = sniffer.matching(s)
+          if (fmts.nonEmpty) DateT(fmts.toSet) else StrT.of(s)
+        case JObj(fields) =>
+          DocT(fields.map { case (k, v) => k -> extract(v) })
+        case JArr(items) =>
+          policy.turnIntoCollection(items.map(extract))
+      }
+    }
 }
 
 object TypeExtractor {

@@ -41,7 +41,17 @@ object Kind {
   case object Collection extends Kind("collection")
   case object Union extends Kind("union")
 
-  /** Open scalar registry (reference types.clj:79-87). */
+  /** A registered special scalar kind (reference extract.clj:83-90's
+    * special-id?/make-special extension channel — "handle mongo's date
+    * and id representations"). Equality is by name, so two extractors
+    * registering the same special agree on kind identity.
+    */
+  final case class Special(override val name: String) extends Kind(name)
+
+  /** Open scalar registry (reference types.clj:79-87; `scalar-type?`
+    * takes an optional registry there, mirrored by [[SchemaType.isScalar]]'s
+    * registry overload — Special kinds are scalar by construction).
+    */
   val scalars: Set[Kind] = Set(Null, Bool, Int, Real, Str, Date)
 }
 
@@ -85,6 +95,15 @@ object CollT {
   def of(t: SchemaType): CollT = CollT(Some(t))
 }
 
+/** A special scalar instance produced by a registered
+  * [[SpecialScalar]] recognizer (reference extract.clj:81-90). Carries no
+  * per-value stats — the reference's make-special channel is a pure kind
+  * tag; recognizers needing stats can model them downstream.
+  */
+final case class SpecialT(name: String) extends SchemaType {
+  def kind: Kind = Kind.Special(name)
+}
+
 final case class UnionT(types: Set[SchemaType]) extends SchemaType {
   def kind: Kind = Kind.Union
   def documents: Set[DocT] = types.collect { case d: DocT => d }
@@ -93,7 +112,11 @@ final case class UnionT(types: Set[SchemaType]) extends SchemaType {
 object UnionT { def of(ts: SchemaType*): UnionT = UnionT(ts.toSet) }
 
 object SchemaType {
-  def isScalar(t: SchemaType): Boolean = Kind.scalars.contains(t.kind)
+  def isScalar(t: SchemaType): Boolean =
+    Kind.scalars.contains(t.kind) || t.kind.isInstanceOf[Kind.Special]
+  /** Registry overload (reference types.clj:82-87 scalar-type? arity-2). */
+  def isScalar(registry: Set[Kind], t: SchemaType): Boolean =
+    registry.contains(t.kind)
   def sameKind(a: SchemaType, b: SchemaType): Boolean = a.kind == b.kind
 
   /** Same-typed scalar combine (reference types.clj:125-161):
@@ -111,6 +134,7 @@ object SchemaType {
       case (DateT(f1), DateT(f2)) => DateT(f1 union f2)
       case (BoolT, BoolT)         => BoolT
       case (NullT, NullT)         => NullT
+      case (s @ SpecialT(n1), SpecialT(n2)) if n1 == n2 => s
       case _ =>
         throw new IllegalArgumentException(
           s"cannot merge-same-typed-scalars: ${a.kind} vs ${b.kind}")
@@ -124,6 +148,7 @@ object SchemaType {
     case RealT(mn, mx)    => s"real[$mn,$mx]"
     case StrT(mn, mx)     => s"str[len $mn,$mx]"
     case DateT(fs)        => fs.toSeq.sorted.mkString("date{", ",", "}")
+    case SpecialT(n)      => s"special<$n>"
     case DocT(fields) =>
       fields.toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k:${render(v)}" }

@@ -109,6 +109,15 @@ class ValidatorSpec extends AnyFunSuite {
     val bareDim = Seq("web", "books", "code", "chat").toDF("source")
     val rep = Validator.validate(spark, df, bareDim, suite)
     assert(!rep.verdicts.collect().exists(_.getString(1) == "dim_bounds"))
+    // a NULL spec VALUE skips that source's check (must not unbox to 0
+    // and fail everything); sources with full specs are still checked
+    val nullSpecDim = dim.withColumn("vocab_size",
+      when(col("source") === "books", lit(null).cast("int"))
+        .otherwise(col("vocab_size")))
+    val rep2 = Validator.validate(spark, df, nullSpecDim, suite)
+    val db = rep2.verdicts.collect()
+      .filter(_.getString(1) == "dim_bounds").map(_.getString(0)).toSet
+    assert(!db.contains("books") && db.contains("web"), db.toString)
   }
 
   test("suggested DDL is the narrowest column fitting the observed stats") {

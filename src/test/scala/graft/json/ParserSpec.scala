@@ -56,6 +56,18 @@ class ParserSpec extends AnyFunSuite {
     assert(JsonParser.parseJsonLine("""not json at all{""").isLeft)
   }
 
+  test("pinned deviation: strings needing >=2 peels of the SAME string are revived") {
+    // actual value content: {\\\"a\\\":1} — escaped two levels beyond
+    // valid JSON. unescape-one-level alone never revives this (the
+    // literal reference code would leave it a string), but the reference
+    // golden nested-escaped-json.js requires exactly this repeated
+    // peeling, so the loop is the pinned semantics (JsonParser.scala
+    // parseRevived doc).
+    val line = """{"deep": "{\\\\\\\"a\\\\\\\":1}"}"""
+    val obj = JsonParser.parseJsonLine(line).toOption.get
+    assert(obj.fields("deep") == JValue.obj("a" -> JInt(BigInt(1))))
+  }
+
   test("values that merely look bracketed but fail to parse stay strings") {
     val obj = JsonParser.parseJsonLine("""{"a": "[not, valid", "b": "[not valid]"}""")
       .toOption.get

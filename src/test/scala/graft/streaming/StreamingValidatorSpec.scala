@@ -109,5 +109,19 @@ class StreamingValidatorSpec extends AnyFunSuite {
     val (_, merged) = StreamingValidator.readStats(spark, stateDir).get
     assert(merged.map(_.getAs[Long]("n_rows")).sum ==
       2 * once.map(_.getAs[Long]("n_rows")).sum)
+
+    // superseded stat generations are deleted once the pointer flips
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(
+        StreamingValidator.statsPath(stateDir)))
+      .map(_.getPath.getName).filter(_.startsWith("gen-"))
+    assert(gens.toSeq == Seq("gen-1"), gens.mkString(","))
+
+    // a replay after a lost verdicts write repairs it from stored stats
+    fs.delete(new org.apache.hadoop.fs.Path(
+      StreamingValidator.verdictsPath(stateDir)), true)
+    StreamingValidator.processBatch(spark, half, 1L, stateDir, dimRows, suite)
+    assert(spark.read.parquet(StreamingValidator.verdictsPath(stateDir)).count() > 0)
   }
 }

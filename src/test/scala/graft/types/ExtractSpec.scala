@@ -61,6 +61,41 @@ class ExtractSpec extends AnyFunSuite {
       coll(doc("a" -> DateT.of(pattern1, pattern2), "b" -> DateT.of(pattern1))))
   }
 
+  test("special-scalar extension channel (extract.clj:81-90, types.clj:82-87)") {
+    // the reference ships only an always-false stub; register a live
+    // recognizer (mongo-style ObjectId strings) and check it is consulted
+    // FIRST (before date sniffing would claim the value a plain string)
+    val mongoId = new SpecialScalar {
+      val name = "mongo-id"
+      def matches(x: JValue): Boolean = x match {
+        case JStr(s) => s.startsWith("ObjectId(") && s.endsWith(")")
+        case _       => false
+      }
+    }
+    val ex = new TypeExtractor(StrictMerge, Seq(pattern1), Seq(mongoId))
+    assert(ex.extract(JStr("ObjectId(507f1f77bcf86cd799439011)")) ==
+      SpecialT("mongo-id"))
+    // non-matching values fall through to the built-in kinds untouched
+    assert(ex.extract(JStr(date1)) == DateT.of(pattern1))
+    assert(ex.extract(JInt(BigInt(3))) == IntT(3, 3))
+    // recursion applies the registry inside docs and arrays
+    assert(ex.extract(obj("id" -> "ObjectId(abc)", "n" -> 1)) ==
+      doc("id" -> SpecialT("mongo-id"), "n" -> IntT(1, 1)))
+    assert(ex.extract(arr("ObjectId(a)", "ObjectId(b)")) ==
+      coll(SpecialT("mongo-id")))
+    // special kinds are scalar (types.clj scalar-type? openness) and
+    // same-named specials merge to themselves; the default registry
+    // overload can exclude them
+    assert(SchemaType.isScalar(SpecialT("mongo-id")))
+    assert(SchemaType.mergeSameKindScalars(
+      SpecialT("mongo-id"), SpecialT("mongo-id")) == SpecialT("mongo-id"))
+    assertThrows[IllegalArgumentException](
+      SchemaType.mergeSameKindScalars(SpecialT("a"), SpecialT("b")))
+    assert(!SchemaType.isScalar(Kind.scalars, SpecialT("mongo-id")))
+    assert(SchemaType.isScalar(
+      Kind.scalars + Kind.Special("mongo-id"), SpecialT("mongo-id")))
+  }
+
   test("scalar extraction basics (extract_test.clj:270-287)") {
     assert(mergeExtract(JNull) == NullT)
     assert(mergeExtract(JInt(5)) == IntT(5, 5))
