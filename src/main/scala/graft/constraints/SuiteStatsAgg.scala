@@ -58,84 +58,17 @@ case class SuiteStatsAgg(
     Array.tabulate(vocab)(t => (t.toLong * bins / vocab).toInt)
 
   override def update(buf: Buf, input: InternalRow): Buf = {
-    buf.nRows += 1
-
-    val d = docId.eval(input).asInstanceOf[UTF8String]
-    if (d == null) buf.nNullDocid += 1
-    else {
-      buf.hll.update(d.getBytes)
-      val len = d.numChars()
-      if (!buf.seenDLen || len < buf.minDLen) buf.minDLen = len
-      if (!buf.seenDLen || len > buf.maxDLen) buf.maxDLen = len
-      buf.seenDLen = true
-    }
-
-    val nt = nTok.eval(input).asInstanceOf[Integer]
-    if (nt != null) {
-      val v = nt.intValue()
-      buf.kll.update(v.toDouble)
-      if (!buf.seenNtok || v < buf.minNtok) buf.minNtok = v
-      if (!buf.seenNtok || v > buf.maxNtok) buf.maxNtok = v
-      buf.seenNtok = true
-      if (v < minNtokCfg || v > maxNtokCfg) buf.nBounds += 1
-    } else buf.nBounds += 1 // coalesce(flag, TRUE)
-
-    val arrRaw = tokens.eval(input)
-    if (arrRaw == null) {
-      buf.nMismatch += 1 // token stats null -> flag null -> coalesce TRUE
-    } else {
-      val arr = arrRaw.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      var nNull = 0
-      var mn = Int.MaxValue
-      var mx = Int.MinValue
-      var seen = false
-      val lut = binLut
-      val hist = buf.hist
-      var i = 0
-      while (i < n) {
-        if (arr.isNullAt(i)) nNull += 1
-        else {
-          val t = arr.getInt(i)
-          if (t < mn) mn = t
-          if (t > mx) mx = t
-          seen = true
-          val bin = if (t < 0) 0 else if (t >= vocab) bins - 1 else lut(t)
-          hist(bin) += 1
-        }
-        i += 1
-      }
-      if (nt == null || nt.intValue() != n) buf.nMismatch += 1
-      if (nNull > 0) buf.nNullTok += 1
-      if (seen && (mn < 0 || mx >= vocab)) buf.nOov += 1
-      if (seen) {
-        if (!buf.seenTok || mn < buf.minTok) buf.minTok = mn
-        if (!buf.seenTok || mx > buf.maxTok) buf.maxTok = mx
-        buf.seenTok = true
-      }
-    }
+    SuiteStatsAgg.updateRow(buf,
+      docId.eval(input).asInstanceOf[UTF8String],
+      nTok.eval(input).asInstanceOf[Integer],
+      tokens.eval(input),
+      vocab, minNtokCfg, maxNtokCfg, bins, binLut)
     buf
   }
 
   override def merge(a: Buf, b: Buf): Buf = a.mergeIn(b)
 
-  override def eval(buf: Buf): Any = {
-    def optI(seen: Boolean, v: Int): Any = if (seen) Int.box(v) else null
-    InternalRow(
-      buf.nRows, buf.nMismatch, buf.nNullTok, buf.nOov, buf.nBounds,
-      buf.nNullDocid,
-      optI(buf.seenNtok, buf.minNtok), optI(buf.seenNtok, buf.maxNtok),
-      optI(buf.seenTok, buf.minTok), optI(buf.seenTok, buf.maxTok),
-      optI(buf.seenDLen, buf.minDLen), optI(buf.seenDLen, buf.maxDLen),
-      // Math.round matches hll_sketch_estimate (which returns a rounded
-      // long); the buffer mirrors hll_sketch_agg's exact structure
-      // (HllSketch(12, HLL_8) + Union at merge), so the sketch bytes —
-      // and hence this estimate — are bit-equal to the composed plan's
-      math.round(buf.hll.getEstimate),
-      buf.hll.toUpdatableByteArray,
-      buf.kll.toByteArray,
-      new GenericArrayData(buf.hist))
-  }
+  override def eval(buf: Buf): Any = SuiteStatsAgg.evalBuf(buf)
 
   override def serialize(buf: Buf): Array[Byte] = buf.toBytes
   override def deserialize(bytes: Array[Byte]): Buf = Buf.fromBytes(bytes, bins, kllK)
@@ -173,6 +106,87 @@ object SuiteStatsAgg {
     StructField("hll_docid", BinaryType, nullable = false),
     StructField("kll_ntok", BinaryType, nullable = false),
     StructField("hist_token", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  /** One row folded into a buffer — the single fused walk (shared with
+    * [[SuiteStatsBySourceAgg]] so the one-scan path is update-identical).
+    */
+  private[constraints] def updateRow(
+      buf: Buf, d: UTF8String, nt: Integer, arrRaw: Any,
+      vocab: Int, minNtokCfg: Int, maxNtokCfg: Int,
+      bins: Int, binLut: Array[Int]): Unit = {
+    buf.nRows += 1
+
+    if (d == null) buf.nNullDocid += 1
+    else {
+      buf.hll.update(d.getBytes)
+      val len = d.numChars()
+      if (!buf.seenDLen || len < buf.minDLen) buf.minDLen = len
+      if (!buf.seenDLen || len > buf.maxDLen) buf.maxDLen = len
+      buf.seenDLen = true
+    }
+
+    if (nt != null) {
+      val v = nt.intValue()
+      buf.kll.update(v.toDouble)
+      if (!buf.seenNtok || v < buf.minNtok) buf.minNtok = v
+      if (!buf.seenNtok || v > buf.maxNtok) buf.maxNtok = v
+      buf.seenNtok = true
+      if (v < minNtokCfg || v > maxNtokCfg) buf.nBounds += 1
+    } else buf.nBounds += 1 // coalesce(flag, TRUE)
+
+    if (arrRaw == null) {
+      buf.nMismatch += 1 // token stats null -> flag null -> coalesce TRUE
+    } else {
+      val arr = arrRaw.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var nNull = 0
+      var mn = Int.MaxValue
+      var mx = Int.MinValue
+      var seen = false
+      val lut = binLut
+      val hist = buf.hist
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) nNull += 1
+        else {
+          val t = arr.getInt(i)
+          if (t < mn) mn = t
+          if (t > mx) mx = t
+          seen = true
+          val bin = if (t < 0) 0 else if (t >= vocab) bins - 1 else lut(t)
+          hist(bin) += 1
+        }
+        i += 1
+      }
+      if (nt == null || nt.intValue() != n) buf.nMismatch += 1
+      if (nNull > 0) buf.nNullTok += 1
+      if (seen && (mn < 0 || mx >= vocab)) buf.nOov += 1
+      if (seen) {
+        if (!buf.seenTok || mn < buf.minTok) buf.minTok = mn
+        if (!buf.seenTok || mx > buf.maxTok) buf.maxTok = mx
+        buf.seenTok = true
+      }
+    }
+  }
+
+  /** Buffer -> stats struct (shared with [[SuiteStatsBySourceAgg]]). */
+  private[constraints] def evalBuf(buf: Buf): InternalRow = {
+    def optI(seen: Boolean, v: Int): Any = if (seen) Int.box(v) else null
+    InternalRow(
+      buf.nRows, buf.nMismatch, buf.nNullTok, buf.nOov, buf.nBounds,
+      buf.nNullDocid,
+      optI(buf.seenNtok, buf.minNtok), optI(buf.seenNtok, buf.maxNtok),
+      optI(buf.seenTok, buf.minTok), optI(buf.seenTok, buf.maxTok),
+      optI(buf.seenDLen, buf.minDLen), optI(buf.seenDLen, buf.maxDLen),
+      // Math.round matches hll_sketch_estimate (which returns a rounded
+      // long); the buffer mirrors hll_sketch_agg's exact structure
+      // (HllSketch(12, HLL_8) + Union at merge), so the sketch bytes —
+      // and hence this estimate — are bit-equal to the composed plan's
+      math.round(buf.hll.getEstimate),
+      buf.hll.toUpdatableByteArray,
+      buf.kll.toByteArray,
+      new GenericArrayData(buf.hist))
+  }
 
   def suite_stats(docId: Column, tokens: Column, nTok: Column,
                   cfg: Validator.SuiteConfig): Column =

@@ -46,6 +46,15 @@ object Validator {
       tokenPsiThreshold: Double = 0.25,
       /** run the exact global uniqueness shuffle (vs HLL estimate only) */
       exactUniqueness: Boolean = true,
+      /** uniqueness exchange strategy for [[Validator.validateOneScan]]:
+        * false (default) groups the key column directly — one scan, one
+        * exchange of the keys; measured fastest on a single node where
+        * shuffle is a memcpy. true uses [[Validator.duplicateKeysHashFirst]]
+        * — two narrow scans but the wide exchange ships 8-byte hashes
+        * instead of key strings; the right trade on a network-bound
+        * cluster where exchange BYTES, not scans, are the ceiling.
+        */
+      uniquenessHashFirst: Boolean = false,
       /** cap violation rows sampled per check (driver/report safety) */
       violationSampleCap: Int = 10000,
       /** declared column DDL (reference db_types side door): observed
@@ -200,6 +209,26 @@ object Validator {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), collect_set(col("source")).as("sources"))
       .filter(col("n") > 1)
+
+  /** Exact duplicate keys with a HASH-FIRST shuffle: phase 1 groups by
+    * `xxhash64(doc_id)` so the wide exchange ships 8-byte longs instead of
+    * key strings (5x+ narrower here; the win grows with key width — URLs,
+    * content IDs). Phase 2 exactly re-groups by the real doc_id ONLY the
+    * rows whose hash bucket held more than one row — 64-bit collisions
+    * between distinct keys are separated there (and at 10^12 rows they DO
+    * occur, ~n^2/2^65 of them), so the result is exact, identical to
+    * [[duplicateKeys]] minus the `sources` column. The candidate set is
+    * violation-rare in healthy data, so phase 2's join broadcasts (AQE)
+    * and its groupBy shuffles almost nothing.
+    */
+  def duplicateKeysHashFirst(df: DataFrame): DataFrame = {
+    val keyed = df.select(col("doc_id"), xxhash64(col("doc_id")).as("__h"))
+    val dupHashes = keyed.groupBy(col("__h"))
+      .agg(count(lit(1)).as("hn")).filter(col("hn") > 1).select("__h")
+    keyed.join(dupHashes, "__h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+  }
 
   /** Salted two-phase exact duplicate counting for HOT keys: when a single
     * doc_id may repeat millions of times, a plain groupBy(doc_id) puts one
@@ -438,6 +467,63 @@ object Validator {
       } else None
     val verdicts = buildVerdicts(spark, stats, dim.collect(), dupAgg, cfg)
     ValidationReport(verdicts, viols, statsToDf(spark, stats))
+  }
+
+  /** ONE-SCAN validation: the per-source stats ride the violations scan as
+    * an `observe` (CollectMetrics) aggregate ([[SuiteStatsBySourceAgg]]),
+    * so the suite's two full-data passes collapse into one — at 100 TB the
+    * table scan IS the cost, and this halves it. Uniqueness is a count-only
+    * exchange over the pruned key column (~1% of table width); set
+    * `cfg.uniquenessHashFirst` on network-bound clusters (see SuiteConfig).
+    *
+    * Because observed metrics only materialize when an ACTION runs over
+    * the instrumented frame, this method runs the violations action
+    * itself: `violationsOut = Some(path)` writes the violation rows as
+    * parquet (the pipeline shape — the scan does double duty), `None`
+    * counts them. The returned report's `violations` frame re-derives
+    * violations lazily for further use.
+    *
+    * Semantics are pinned identical to [[validate]] by FusedValidateSpec
+    * (same verdicts; same stats up to sketch-internal randomness).
+    */
+  def validateOneScan(spark: SparkSession, df: DataFrame, dim: DataFrame,
+                      cfg: SuiteConfig = SuiteConfig(),
+                      violationsOut: Option[String] = None): ValidationReport = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs,
+      SuiteStatsBySourceAgg.suite_stats_by_source(
+        col("source"), col("doc_id"), col("tokens"), col("n_tok"), cfg)
+        .as("stats"))
+    val viols = violations(observed, cfg)
+    violationsOut match {
+      case Some(path) => viols.write.mode("overwrite").parquet(path)
+      case None       => viols.count()
+    }
+
+    val statsSchema = StructType(
+      StructField("source", StringType, nullable = true) +:
+        SuiteStatsAgg.schema.fields)
+    val stats: Array[Row] = obs.get("stats")
+      .asInstanceOf[scala.collection.Seq[Row]]
+      .map { r =>
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          (r.get(0) +: r.getStruct(1).toSeq).toArray, statsSchema)
+      }.toArray
+
+    val dupAgg =
+      if (cfg.exactUniqueness) {
+        // count-only duplicate detection: one column through the exchange
+        // (no collect_set of sources — that's duplicateKeys' report shape)
+        val dups =
+          if (cfg.uniquenessHashFirst) duplicateKeysHashFirst(df)
+          else df.select(col("doc_id")).groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        val r = dups.agg(count(lit(1)).as("k"),
+          coalesce(sum(col("n") - 1), lit(0L)).as("extra")).collect()(0)
+        Some((r.getLong(0), r.getLong(1)))
+      } else None
+    val verdicts = buildVerdicts(spark, stats, dim.collect(), dupAgg, cfg)
+    ValidationReport(verdicts, violations(df, cfg), statsToDf(spark, stats))
   }
 
   private[graft] def statsToDf(spark: SparkSession, rows: Array[Row]): DataFrame =
