@@ -51,11 +51,11 @@ object BenchScaling {
     val times = (1 to runs).map { i =>
       val t0 = System.nanoTime()
       val df = spark.read.parquet(input)
-      val rep = Validator.validate(spark, df, dim, suite)
-      val nViol = rep.violations.count() // force the violation scan too
+      // one-scan path, same as Bench (stats observed on the violations scan)
+      Validator.validateOneScan(spark, df, dim, suite)
       val secs = (System.nanoTime() - t0) / 1e9
       val tput = rows / secs
-      println(s"""{"run":$i,"cpus":$cpus,"rows":$rows,"sec":$secs,"seq_per_sec":$tput,"violations":$nViol}""")
+      println(s"""{"run":$i,"cpus":$cpus,"rows":$rows,"sec":$secs,"seq_per_sec":$tput}""")
       secs
     }
     // discard warm-up runs (cold page cache + JIT), report median of the rest

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -31,9 +31,24 @@ object Multimodal {
     )), nullable = true)
   ))
 
+  /** Typed row of the pruned input projection (encoder-backed — the
+    * mapPartitions stages stay inside one logical plan instead of
+    * dropping to an RDD and re-attaching a schema).
+    */
+  final case class MediaIn(media_id: Long, kind: String, bytes: Array[Byte])
+
+  /** Typed feature row ([[featureSchema]] is its encoder schema). */
+  final case class MediaFeature(media_id: Long, kind: String, n_bytes: Int,
+                                ok: Boolean, feature: Array[Float])
+
+  /** Typed resized row ([[resizedSchema]] is its encoder schema). */
+  final case class ResizedMedia(media_id: Long, kind: String,
+                                bytes: Array[Byte], width: Int, height: Int,
+                                ok: Boolean)
+
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
-    StructField("kind", StringType, nullable = false),
+    StructField("kind", StringType, nullable = true),
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("ok", BooleanType, nullable = false),
     StructField("feature", ArrayType(FloatType, containsNull = false), nullable = true)
@@ -74,25 +89,27 @@ object Multimodal {
 
   /** Per-partition batched feature extraction. Batches bound peak memory
     * (a real decoder holds `batchSize` frames at once, not a partition).
+    * Typed `Dataset.mapPartitions` keeps the stage inside one logical plan
+    * (encoder serialization, no RDD hop), so upstream pruning/pushdown and
+    * downstream optimization see through it.
     */
   def extractFeatures(media: DataFrame, decoder: Decoder = FakeDecoder,
                       batchSize: Int = 64): DataFrame = {
-    val spark = media.sparkSession
-    val rdd = media.select("media_id", "kind", "bytes").rdd.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { rows =>
-        val batch = rows.map(r => (r.getLong(0), r.getString(1),
-          if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)))
-        decoder.decode(batch).map { case (id, kind, n, ok, feat) =>
-          Row(id, kind, n, ok, if (feat == null) null else feat.toSeq)
+    import media.sparkSession.implicits._
+    media.select("media_id", "kind", "bytes").as[MediaIn]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { rows =>
+          val batch = rows.map(m => (m.media_id, m.kind, m.bytes))
+          decoder.decode(batch).map { case (id, kind, n, ok, feat) =>
+            MediaFeature(id, kind, n, ok, feat)
+          }
         }
-      }
-    }
-    spark.createDataFrame(rdd, featureSchema)
+      }.toDF()
   }
 
   val resizedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
-    StructField("kind", StringType, nullable = false),
+    StructField("kind", StringType, nullable = true),
     StructField("bytes", BinaryType, nullable = true),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
@@ -105,27 +122,27 @@ object Multimodal {
     */
   def resize(media: DataFrame, width: Int, height: Int,
              batchSize: Int = 64): DataFrame = {
-    val spark = media.sparkSession
+    import media.sparkSession.implicits._
     val outLen = math.max(1, (width * height) / 256)
-    val rdd = media.select("media_id", "kind", "bytes").rdd.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { rows =>
-        rows.map { r =>
-          if (r.isNullAt(2) || r.getAs[Array[Byte]](2).isEmpty)
-            Row(r.getLong(0), r.getString(1), null, width, height, false)
-          else {
-            val in = r.getAs[Array[Byte]](2)
-            val out = new Array[Byte](outLen)
-            var i = 0
-            while (i < in.length) { // stub: fold source bytes into the target
-              out(i % outLen) = (out(i % outLen) ^ in(i)).toByte
-              i += 1
+    media.select("media_id", "kind", "bytes").as[MediaIn]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { rows =>
+          rows.map { m =>
+            if (m.bytes == null || m.bytes.isEmpty)
+              ResizedMedia(m.media_id, m.kind, null, width, height, ok = false)
+            else {
+              val in = m.bytes
+              val out = new Array[Byte](outLen)
+              var i = 0
+              while (i < in.length) { // stub: fold source bytes into the target
+                out(i % outLen) = (out(i % outLen) ^ in(i)).toByte
+                i += 1
+              }
+              ResizedMedia(m.media_id, m.kind, out, width, height, ok = true)
             }
-            Row(r.getLong(0), r.getString(1), out, width, height, true)
           }
         }
-      }
-    }
-    spark.createDataFrame(rdd, resizedSchema)
+      }.toDF()
   }
 
   /** Frame sampling for video rows: EXPLODE each video into every

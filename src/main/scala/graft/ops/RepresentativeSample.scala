@@ -23,8 +23,10 @@ object RepresentativeSample {
     * (schema->prop=>type=>seen, example_data.clj:71-78).
     */
   def coverageTargets(schema: DocT): Set[(String, String)] =
-    schema.fields.flatMap {
-      case (prop, UnionT(ts)) => ts.map(t => prop -> t.kind.name)
+    // NB toSeq first: flatMap over the fields Map would rebuild a Map and
+    // collapse a union's several (prop, kind) pairs onto one key
+    schema.fields.toSeq.flatMap {
+      case (prop, UnionT(ts)) => ts.toSeq.map(t => prop -> t.kind.name)
       case (prop, t)          => Seq(prop -> t.kind.name)
     }.toSet
 
