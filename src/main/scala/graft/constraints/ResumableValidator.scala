@@ -31,27 +31,31 @@ object ResumableValidator {
 
     if (todo.nonEmpty) {
       val todoSources = todo.map(_.source)
-      // partition-pruned scan: only not-yet-validated sources are read
+      // partition-pruned scan: only not-yet-validated sources are read.
+      // ONE scan per run: the per-source stats ride the violations write
+      // as an observe aggregate (Validator.observeStats) instead of a
+      // second full pass over the fresh partitions.
       val fresh = input.filter(col("source").isin(todoSources: _*))
+      val (observed, statsThunk) = Validator.observeStats(fresh, cfg)
 
-      Validator.violations(fresh, cfg)
+      Validator.violations(observed, cfg)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("source")
         .parquet(Checkpoint.violationsPath(statePath))
 
-      Validator.sourceStats(fresh, cfg)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("source")
-        .parquet(Checkpoint.statsPath(statePath))
+      val freshStats = statsThunk()
+      if (freshStats.nonEmpty)
+        Validator.statsToDf(spark, freshStats)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("source")
+          .parquet(Checkpoint.statsPath(statePath))
 
       // manifests LAST: a crash between data and manifest writes only
       // means redundant (idempotent) revalidation on the next run
-      val freshRowCounts = spark.read.parquet(Checkpoint.statsPath(statePath))
-        .filter(col("source").isin(todoSources: _*))
-        .select(col("source"), col("n_rows")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val freshRowCounts = freshStats
+        .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_rows")).toMap
       todo.foreach { pl =>
         Checkpoint.writeManifest(spark, statePath, pl,
           freshRowCounts.getOrElse(pl.source, 0L))
@@ -72,14 +76,8 @@ object ResumableValidator {
       }
 
     // global uniqueness always reruns: it is cross-partition by nature and
-    // scans a two-column projection of the full table
-    val dupAgg =
-      if (cfg.exactUniqueness) {
-        val r = Validator.duplicateKeys(input)
-          .agg(count(lit(1)).as("k"),
-            coalesce(sum(col("n") - 1), lit(0L)).as("extra")).collect()(0)
-        Some((r.getLong(0), r.getLong(1)))
-      } else None
+    // scans a one-column projection of the full table
+    val dupAgg = Validator.dupStats(input, cfg)
 
     val verdicts = Validator.buildVerdicts(spark, stats, dim.collect(), dupAgg, cfg)
     verdicts.coalesce(1).write.mode("overwrite")

@@ -453,18 +453,54 @@ object Validator {
     }.toSeq.sortBy(t => (t._1, t._2))
   }
 
+  /** (n duplicated keys, n extra rows) under the configured uniqueness
+    * strategy — None when `cfg.exactUniqueness` is off.
+    */
+  private[graft] def dupStats(df: DataFrame, cfg: SuiteConfig): Option[(Long, Long)] =
+    if (!cfg.exactUniqueness) None
+    else {
+      // count-only: one pruned column through the exchange (no collect_set
+      // of sources — that's duplicateKeys' report shape)
+      val dups =
+        if (cfg.uniquenessHashFirst) duplicateKeysHashFirst(df)
+        else df.select(col("doc_id")).groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      val r = dups.agg(count(lit(1)).as("k"),
+        coalesce(sum(col("n") - 1), lit(0L)).as("extra")).collect()(0)
+      Some((r.getLong(0), r.getLong(1)))
+    }
+
+  /** Attach the by-source suite-stats observation to `df`. After exactly
+    * ONE action runs over the returned frame, the thunk yields the stats
+    * rows (the [[sourceStats]] schema) — the fused one-scan machinery
+    * shared by [[validateOneScan]], the resumable runner, and the
+    * streaming micro-batch path.
+    */
+  private[graft] def observeStats(df: DataFrame, cfg: SuiteConfig)
+      : (DataFrame, () => Array[Row]) = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs,
+      SuiteStatsBySourceAgg.suite_stats_by_source(
+        col("source"), col("doc_id"), col("tokens"), col("n_tok"), cfg)
+        .as("stats"))
+    val statsSchema = StructType(
+      StructField("source", StringType, nullable = true) +:
+        SuiteStatsAgg.schema.fields)
+    val thunk = () => obs.get("stats")
+      .asInstanceOf[scala.collection.Seq[Row]]
+      .map { r =>
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          (r.get(0) +: r.getStruct(1).toSeq).toArray, statsSchema): Row
+      }.toArray
+    (observed, thunk)
+  }
+
   /** One-shot (non-resumable) validation of an in-memory DataFrame. */
   def validate(spark: SparkSession, df: DataFrame, dim: DataFrame,
                cfg: SuiteConfig = SuiteConfig()): ValidationReport = {
     val stats = sourceStats(df, cfg).collect()
     val viols = violations(df, cfg)
-    val dups = duplicateKeys(df)
-    val dupAgg =
-      if (cfg.exactUniqueness) {
-        val r = dups.agg(count(lit(1)).as("k"),
-          coalesce(sum(col("n") - 1), lit(0L)).as("extra")).collect()(0)
-        Some((r.getLong(0), r.getLong(1)))
-      } else None
+    val dupAgg = dupStats(df, cfg)
     val verdicts = buildVerdicts(spark, stats, dim.collect(), dupAgg, cfg)
     ValidationReport(verdicts, viols, statsToDf(spark, stats))
   }
@@ -489,40 +525,14 @@ object Validator {
   def validateOneScan(spark: SparkSession, df: DataFrame, dim: DataFrame,
                       cfg: SuiteConfig = SuiteConfig(),
                       violationsOut: Option[String] = None): ValidationReport = {
-    val obs = org.apache.spark.sql.Observation()
-    val observed = df.observe(obs,
-      SuiteStatsBySourceAgg.suite_stats_by_source(
-        col("source"), col("doc_id"), col("tokens"), col("n_tok"), cfg)
-        .as("stats"))
+    val (observed, statsThunk) = observeStats(df, cfg)
     val viols = violations(observed, cfg)
     violationsOut match {
       case Some(path) => viols.write.mode("overwrite").parquet(path)
       case None       => viols.count()
     }
-
-    val statsSchema = StructType(
-      StructField("source", StringType, nullable = true) +:
-        SuiteStatsAgg.schema.fields)
-    val stats: Array[Row] = obs.get("stats")
-      .asInstanceOf[scala.collection.Seq[Row]]
-      .map { r =>
-        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
-          (r.get(0) +: r.getStruct(1).toSeq).toArray, statsSchema)
-      }.toArray
-
-    val dupAgg =
-      if (cfg.exactUniqueness) {
-        // count-only duplicate detection: one column through the exchange
-        // (no collect_set of sources — that's duplicateKeys' report shape)
-        val dups =
-          if (cfg.uniquenessHashFirst) duplicateKeysHashFirst(df)
-          else df.select(col("doc_id")).groupBy(col("doc_id"))
-            .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-        val r = dups.agg(count(lit(1)).as("k"),
-          coalesce(sum(col("n") - 1), lit(0L)).as("extra")).collect()(0)
-        Some((r.getLong(0), r.getLong(1)))
-      } else None
-    val verdicts = buildVerdicts(spark, stats, dim.collect(), dupAgg, cfg)
+    val stats = statsThunk()
+    val verdicts = buildVerdicts(spark, stats, dim.collect(), dupStats(df, cfg), cfg)
     ValidationReport(verdicts, violations(df, cfg), statsToDf(spark, stats))
   }
 

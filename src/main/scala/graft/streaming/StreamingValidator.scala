@@ -165,7 +165,10 @@ object StreamingValidator {
       return
     }
 
-    Validator.violations(batch, cfg)
+    // ONE pass over the micro-batch: the per-source stats ride the
+    // violations write as an observe aggregate (Validator.observeStats)
+    val (observed, statsThunk) = Validator.observeStats(batch, cfg)
+    Validator.violations(observed, cfg)
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -174,7 +177,7 @@ object StreamingValidator {
 
     val merged = mergeStatsRows(
       prev.map(_._2).getOrElse(Array.empty[Row]),
-      Validator.sourceStats(batch, cfg).collect(),
+      statsThunk(),
       cfg.kllK)
     if (merged.nonEmpty) {
       writeStats(spark, statePath, batchId, merged)
