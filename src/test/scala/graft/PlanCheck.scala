@@ -34,6 +34,12 @@ object PlanCheck {
     println("==== partition-pruned scan (resume path) ====")
     df.filter(col("source").isin("web", "books")).groupBy("source").count()
       .explain("formatted")
+    println("==== fused one-scan suite: violations + observed stats ====")
+    val (observed, _) = Validator.observeStats(df, suite)
+    Validator.violations(observed, suite).explain("formatted")
+    println("==== count-only uniqueness (validateOneScan) ====")
+    df.select(col("doc_id")).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).explain("formatted")
     spark.stop()
   }
 }
