@@ -64,7 +64,8 @@ object Bench {
       val t = time {
         val df = spark.read.parquet(benchDir)
         // one-scan path: stats ride the violations count via observe;
-        // uniqueness shuffles 8-byte hashes (validateOneScan scaladoc)
+        // uniqueness is the default count-only direct groupBy (the
+        // single-node-fast strategy — see SuiteConfig.uniquenessHashFirst)
         Validator.validateOneScan(spark, df, dim, suiteCfg)
       }
       spark.catalog.clearCache() // no run subsidizes the next
@@ -78,12 +79,13 @@ object Bench {
     val seqPerSec = seqRows / results("suite_validate_warm")
 
     Queries.defs.foreach { case (name, d) =>
-      results(name) = time {
-        try d.fn(spark, sfDir).count()
+      // a failed query records -1 (excluded from the total below), never
+      // its time-to-failure — a partially failed run must not read clean
+      results(name) =
+        try time(d.fn(spark, sfDir).count())
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
-      }
     }
     spark.catalog.clearCache() // release the battery's persisted LSH tables
 

@@ -504,15 +504,18 @@ object Queries {
     * stage must achieve full recall on the graded corpus (the planted
     * near-dups sit at J >= 0.85 with nothing between 0.2 and 0.85, where
     * banded-LSH miss probability is ~1e-12) and the rerank guarantees
-    * precision by construction.
+    * precision by construction. The CASE mirrors ShingleHashes' short-text
+    * fallback (< k words -> the whole text as the single shingle), so
+    * sub-3-word documents compare identically in both engines.
     */
   private def shingleJaccardPairsSql(threshold: Double): String = {
     val j = """round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
               |        len(list_distinct(list_concat(a.sh, b.sh))), 6)""".stripMargin
     s"""WITH s AS (SELECT doc_id,
-       |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-       |                 for i in range(1, len(w) - 1)]) AS sh
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+       |  CASE WHEN len(w) < 3 THEN [text]
+       |       ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                           for i in range(1, len(w) - 1)]) END AS sh
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $j AS jaccard
        |FROM s a JOIN s b ON a.doc_id < b.doc_id
        |WHERE $j >= $threshold
@@ -661,7 +664,10 @@ object Queries {
     """WITH m AS (
       |  SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
       |              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-      |    doc_id % 97 = 3 AS corrupt, text FROM documents),
+      |    -- FakeDecoder flags null AND empty payloads as corrupt, so the
+      |    -- oracle must too (degenerate texts, not just the planted nulls)
+      |    doc_id % 97 = 3 OR text IS NULL OR length(text) = 0 AS corrupt,
+      |    text FROM documents),
       |feat AS (
       |  SELECT kind, corrupt,
       |    CASE WHEN corrupt THEN NULL ELSE CAST(

@@ -64,10 +64,11 @@ object ExampleData {
   }
 
   /** The early-stop loop (example_data.clj:80-92 process-rows): walk rows,
-    * append to `acc` every row exhibiting at least one yet-unseen
-    * (property, kind) pair of the target schema (accept?,
-    * example_data.clj:39-47), mark ALL the row's pairs seen, and stop as
-    * soon as the whole board is covered. Returns (accumulator, count)
+    * append to `acc` every row exhibiting at least one pair not yet on the
+    * seen-board — including pairs OUTSIDE the target schema, which the
+    * reference's accept? also treats as unseen (accept?,
+    * example_data.clj:39-47) — mark ALL the row's pairs seen, and stop as
+    * soon as every TARGET pair is covered. Returns (accumulator, count)
     * where count carries the reference's start-at-1 quirk.
     *
     * Rows that fail to parse or don't extract to a document are skipped
@@ -78,18 +79,23 @@ object ExampleData {
                      acc: Accumulator[V],
                      dateFormats: Seq[String] = Nil): (Accumulator[V], Long) = {
     val extractor = new TypeExtractor(StrictMerge, dateFormats)
-    var unseen: Set[(String, String)] = RepresentativeSample.coverageTargets(schema)
+    val targets = RepresentativeSample.coverageTargets(schema)
+    // the seen-board: accept? treats a pair NOT on the board as unseen
+    // (get-in -> nil, example_data.clj:39-46), so a row whose only novel
+    // pairs lie OUTSIDE the target schema is still accepted and its pairs
+    // are added to the board — the loop terminates on target coverage only
+    var seen = Set.empty[(String, String)]
     var count = 1L
-    while (unseen.nonEmpty && rows.hasNext) {
+    while (!targets.subsetOf(seen) && rows.hasNext) {
       val row = rows.next()
       count += 1
       JsonParser.parseJsonLine(row).toOption.foreach { obj =>
         extractor.extract(obj) match {
           case d: DocT =>
             val exhibited = RepresentativeSample.exhibitedPairs(d)
-            if (exhibited.exists(unseen.contains)) { // accept?
+            if (exhibited.exists(p => !seen.contains(p))) { // accept?
               acc.append(row)
-              unseen = unseen -- exhibited // mark-props-seen
+              seen = seen ++ exhibited // mark-props-seen
             }
           case _ => ()
         }

@@ -198,11 +198,16 @@ object StreamingValidator {
     val ptr = new org.apache.hadoop.fs.Path(s"${statsPath(statePath)}/CURRENT")
     val out = fs.create(ptr, true)
     out.write(s"gen-$batchId".getBytes("UTF-8")); out.close()
-    // superseded generations are garbage once the pointer flips — delete
-    // them so state stays O(1) instead of growing per batch
-    fs.listStatus(new org.apache.hadoop.fs.Path(statsPath(statePath)))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-") &&
-        s.getPath.getName != s"gen-$batchId")
+    // keep the current AND previous generation, delete older ones: state
+    // stays O(1), and an external reader that resolved CURRENT just before
+    // this flip can still read the directory it points at (deleting
+    // immediately would race such readers; two generations preserve the
+    // pointer-flip guarantee the layout exists for)
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(statsPath(statePath)))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+    val keep = gens.map(_.getPath.getName.stripPrefix("gen-").toLong)
+      .sorted.takeRight(2).map(i => s"gen-$i").toSet
+    gens.filter(s => !keep.contains(s.getPath.getName))
       .foreach(s => fs.delete(s.getPath, true))
   }
 

@@ -8,8 +8,9 @@ import graft.SharedSpark
 import graft.sequences.SequenceSynth
 
 /** Pins the ONE-SCAN validation path ([[Validator.validateOneScan]]:
-  * observe-fused stats + hash-first uniqueness) semantically identical to
-  * the classic two-scan [[Validator.validate]]. Sketch BYTES are exempt
+  * observe-fused stats + count-only uniqueness, with
+  * [[Validator.duplicateKeysHashFirst]] as the opt-in cluster strategy)
+  * semantically identical to the classic two-scan [[Validator.validate]]. Sketch BYTES are exempt
   * (KLL compaction is randomized and merge order differs between an
   * exchange and an observe accumulator — CLAUDE.md invariant: assert
   * verdict decisions, never sketch readouts); everything exact — counters,

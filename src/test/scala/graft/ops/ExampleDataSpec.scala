@@ -33,6 +33,22 @@ class ExampleDataSpec extends AnyFunSuite {
     assert(acc.values.isEmpty)
   }
 
+  test("rows with only out-of-schema novel pairs are still accepted (accept? board semantics)") {
+    // reference accept? (example_data.clj:39-46): a pair NOT on the board
+    // (get-in -> nil) counts as unseen, so {"z": ...} is appended even
+    // though z is no target; termination still needs the TARGET pairs
+    val rows = Iterator(
+      """{"z": 1}""",               // out-of-board pair -> accepted
+      """{"z": 2}""",               // (z, int) now on the board -> rejected
+      """{"a": 1, "b": true}""",
+      """{"a": "x"}"""
+    )
+    val seen = scala.collection.mutable.Buffer[String]()
+    val (_, count) = processRows(schema, rows, new PrintAccumulator(seen += _))
+    assert(seen.toSeq == Seq("""{"z": 1}""", """{"a": 1, "b": true}""", """{"a": "x"}"""))
+    assert(count == 5) // all four consumed (+1 quirk): coverage completed on the last
+  }
+
   test("empty input reports the reference's count of 1 and an empty accumulator") {
     val (acc, count) = processRows(schema, Iterator.empty,
       new BinnedExampleAccumulator)

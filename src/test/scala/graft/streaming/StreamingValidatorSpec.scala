@@ -110,13 +110,16 @@ class StreamingValidatorSpec extends AnyFunSuite {
     assert(merged.map(_.getAs[Long]("n_rows")).sum ==
       2 * once.map(_.getAs[Long]("n_rows")).sum)
 
-    // superseded stat generations are deleted once the pointer flips
+    // generation GC keeps current + previous (a reader that resolved
+    // CURRENT just before the flip can still read it), evicts older
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(
+    def gens() = fs.listStatus(new org.apache.hadoop.fs.Path(
         StreamingValidator.statsPath(stateDir)))
-      .map(_.getPath.getName).filter(_.startsWith("gen-"))
-    assert(gens.toSeq == Seq("gen-1"), gens.mkString(","))
+      .map(_.getPath.getName).filter(_.startsWith("gen-")).sorted
+    assert(gens().toSeq == Seq("gen-0", "gen-1"), gens().mkString(","))
+    StreamingValidator.processBatch(spark, half, 2L, stateDir, dimRows, suite)
+    assert(gens().toSeq == Seq("gen-1", "gen-2"), gens().mkString(","))
 
     // a replay after a lost verdicts write repairs it from stored stats
     fs.delete(new org.apache.hadoop.fs.Path(
