@@ -569,6 +569,46 @@ object Queries {
       .filter(col("cosine") >= 0.45)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Near-dup CLUSTERS: connected components (alternating
+    * large-star/small-star, [[graft.ops.Components]]) over the
+    * exact-reranked minhash pair set (q19's pairs), summarized per
+    * component. Graded against a DuckDB recursive-CTE transitive closure
+    * of the same brute-force all-pairs truth — the cluster-forming step of
+    * the dedup pipeline, end-to-end.
+    */
+  private def q33(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val cands = Dedup.minhashCandidates(docs, "text", "doc_id",
+      shingleK = 3, perms = 32, bands = 16, minJaccard = 0.2)
+    val pairs = rerankedPairs(docs, cands, 0.5).select(col("id_a"), col("id_b"))
+    graft.ops.Components.dupClusters(pairs, "id_a", "id_b")
+      .select(col("component"), col("n_docs"),
+        col("min_doc"), col("max_doc"))
+      .orderBy(col("component"))
+  }
+
+  private val q33Sql = {
+    val j = """round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              |        len(list_distinct(list_concat(a.sh, b.sh))), 6)""".stripMargin
+    s"""WITH RECURSIVE s AS (SELECT doc_id,
+       |  CASE WHEN len(w) < 3 THEN [text]
+       |       ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                           for i in range(1, len(w) - 1)]) END AS sh
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |      FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $j >= 0.5),
+       |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+       |lab AS (
+       |  SELECT a AS id, comp FROM
+       |    (SELECT a, b AS comp FROM e UNION SELECT a, a AS comp FROM e)
+       |  UNION
+       |  SELECT l.id, e2.b AS comp FROM lab l JOIN e e2 ON l.comp = e2.a),
+       |comps AS (SELECT id, min(comp) AS component FROM lab GROUP BY id)
+       |SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(id) AS min_doc, max(id) AS max_doc
+       |FROM comps GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private val q21Sql = {
     val c = """round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
               |      CAST(b.embedding AS DOUBLE[])), 6)""".stripMargin
@@ -778,6 +818,7 @@ object Queries {
     "q24_media_features"  -> QueryDef(q24, Some(q24Sql)),
     "q30_ann_ivf"         -> QueryDef(q30, Some(q15Sql)),
     "q31_word_jaccard"    -> QueryDef(q31, Some(q31Sql)),
-    "q32_embed_cosine"    -> QueryDef(q32, Some(q32Sql))
+    "q32_embed_cosine"    -> QueryDef(q32, Some(q32Sql)),
+    "q33_dedup_clusters"  -> QueryDef(q33, Some(q33Sql))
   )
 }

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Connected components vs a driver-side union-find truth: random graphs
+  * (seeded, MonoidLawsSpec-style manual generation), long chains (the
+  * diameter case large-star/small-star exists for), and degenerate inputs.
+  */
+class ComponentsSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def sparkCC(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("random graphs match union-find (3 seeds x 200 edges over 120 nodes)") {
+    for (seed <- Seq(1L, 7L, 42L)) {
+      var state = seed
+      def next(bound: Int): Long = {
+        state = state * 6364136223846793005L + 1442695040888963407L
+        ((state >>> 33) % bound + bound) % bound
+      }
+      val pairs = Seq.fill(200)((next(120), next(120))).filter(p => p._1 != p._2)
+      assert(sparkCC(pairs) == unionFind(pairs), s"seed $seed")
+    }
+  }
+
+  test("a 64-node chain converges (diameter >> rounds) to one component") {
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val cc = sparkCC(chain)
+    assert(cc.size == 64 && cc.values.forall(_ == 0L))
+  }
+
+  test("disjoint planted clusters keep distinct min-id components") {
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L), (31L, 30L))
+    val cc = sparkCC(pairs)
+    assert(cc == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("empty input yields an empty assignment") {
+    assert(sparkCC(Nil).isEmpty)
+  }
+
+  test("dupClusters summarizes one row per component") {
+    val rows = Components.dupClusters(
+        Seq((5L, 3L), (3L, 9L), (100L, 101L)).toDF("a", "b"), "a", "b")
+      .orderBy("component").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((3L, 3L, 3L, 9L), (100L, 2L, 100L, 101L)))
+  }
+}
