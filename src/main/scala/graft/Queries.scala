@@ -609,6 +609,44 @@ object Queries {
        |FROM comps GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Decontamination: training docs containing >= 90% of an eval doc's
+    * distinct 3-word shingles, via the inverted-index join
+    * ([[graft.ops.Decontamination]]). Eval = src0-src3, train = the rest.
+    * The internal threshold (0.85) sits below the emitted one (0.9) so
+    * boundary pairs are decided by the ROUNDED containment in both
+    * engines, mirroring q21's pattern; the oracle is the brute-force
+    * all-pairs list_intersect truth.
+    */
+  private def q34(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val evalSources = Seq("src0", "src1", "src2", "src3")
+    val pairs = graft.ops.Decontamination.containmentPairs(
+      docs.filter(!col("source").isin(evalSources: _*)),
+      docs.filter(col("source").isin(evalSources: _*)),
+      "text", "doc_id", k = 3, minContainment = 0.85)
+    pairs.select(col("train_id"), col("eval_id"),
+        round(col("containment"), 6).as("containment"))
+      .filter(col("containment") >= 0.9)
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  private val q34Sql = {
+    val c = """round(CAST(len(list_intersect(v.sh, t.sh)) AS DOUBLE) /
+              |        len(v.sh), 6)""".stripMargin
+    s"""WITH s AS (SELECT doc_id, source,
+       |  CASE WHEN len(w) < 3 THEN [text]
+       |       ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                           for i in range(1, len(w) - 1)]) END AS sh
+       |  FROM (SELECT doc_id, source, text, string_split(text, ' ') AS w
+       |        FROM documents))
+       |SELECT t.doc_id AS train_id, v.doc_id AS eval_id, $c AS containment
+       |FROM s t JOIN s v
+       |  ON t.source NOT IN ('src0','src1','src2','src3')
+       | AND v.source IN ('src0','src1','src2','src3')
+       |WHERE $c >= 0.9
+       |ORDER BY train_id, eval_id""".stripMargin
+  }
+
   private val q21Sql = {
     val c = """round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
               |      CAST(b.embedding AS DOUBLE[])), 6)""".stripMargin
@@ -819,6 +857,7 @@ object Queries {
     "q30_ann_ivf"         -> QueryDef(q30, Some(q15Sql)),
     "q31_word_jaccard"    -> QueryDef(q31, Some(q31Sql)),
     "q32_embed_cosine"    -> QueryDef(q32, Some(q32Sql)),
-    "q33_dedup_clusters"  -> QueryDef(q33, Some(q33Sql))
+    "q33_dedup_clusters"  -> QueryDef(q33, Some(q33Sql)),
+    "q34_decontaminate"   -> QueryDef(q34, Some(q34Sql))
   )
 }
