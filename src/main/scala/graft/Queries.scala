@@ -647,6 +647,41 @@ object Queries {
        |ORDER BY train_id, eval_id""".stripMargin
   }
 
+  /** Greedy sequence packing ([[graft.ops.Packing]]) of the documents
+    * table into a 1024-char budget per source, summarized per pack. The
+    * oracle replays the same first-fit-in-order recurrence as a DuckDB
+    * recursive CTE (one level per row within a source — fine at graded
+    * scale; the Spark side streams each group in one pass).
+    */
+  private def q35(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packGreedy(tbl(spark, dir, "documents"),
+        "source", "doc_id", "n_chars", budget = 1024)
+      .select(col("group").as("source"), col("pack_id"), col("n_seqs"),
+        col("total_len"), array_min(col("seq_ids")).as("min_id"),
+        array_max(col("seq_ids")).as("max_id"))
+      .orderBy(col("source"), col("pack_id"))
+
+  private val q35Sql =
+    """WITH RECURSIVE d AS (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, rn, doc_id, CAST(n_chars AS BIGINT) AS len,
+      |         CAST(0 AS BIGINT) AS pack_id, CAST(n_chars AS BIGINT) AS acc
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.source, d.rn, d.doc_id, CAST(d.n_chars AS BIGINT),
+      |    CASE WHEN g.acc >= 1024 OR g.acc + d.n_chars > 1024
+      |         THEN g.pack_id + 1 ELSE g.pack_id END,
+      |    CASE WHEN g.acc >= 1024 OR g.acc + d.n_chars > 1024
+      |         THEN CAST(d.n_chars AS BIGINT) ELSE g.acc + d.n_chars END
+      |  FROM g JOIN d ON d.source = g.source AND d.rn = g.rn + 1)
+      |SELECT source, pack_id, CAST(count(*) AS BIGINT) AS n_seqs,
+      |  CAST(sum(len) AS BIGINT) AS total_len,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val q21Sql = {
     val c = """round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
               |      CAST(b.embedding AS DOUBLE[])), 6)""".stripMargin
@@ -858,6 +893,7 @@ object Queries {
     "q31_word_jaccard"    -> QueryDef(q31, Some(q31Sql)),
     "q32_embed_cosine"    -> QueryDef(q32, Some(q32Sql)),
     "q33_dedup_clusters"  -> QueryDef(q33, Some(q33Sql)),
-    "q34_decontaminate"   -> QueryDef(q34, Some(q34Sql))
+    "q34_decontaminate"   -> QueryDef(q34, Some(q34Sql)),
+    "q35_seq_packing"     -> QueryDef(q35, Some(q35Sql))
   )
 }
