@@ -682,6 +682,55 @@ object Queries {
       |  min(doc_id) AS min_id, max(doc_id) AS max_id
       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Quality-filter audit ([[graft.ops.QualityFilter]]): per-source keep
+    * counts + per-rule violation counts from ONE annotated pass (default
+    * Gopher-style rules; lang rule off so the oracle stays closed-form).
+    * Null texts count in n_docs but in no rule column in BOTH engines
+    * (Spark: the null_text reason; DuckDB: three-valued logic drops them
+    * from every FILTER).
+    */
+  private def q36(spark: SparkSession, dir: String): DataFrame = {
+    val ann = graft.ops.QualityFilter.annotate(
+      tbl(spark, dir, "documents"), "text")
+    def hit(rule: String) =
+      count_if(array_contains(col("reasons"), rule)).cast("long")
+    ann.groupBy(col("source")).agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        count_if(col("keep")).cast("long").as("n_kept"),
+        hit("too_short").as("n_too_short"),
+        hit("low_alpha").as("n_low_alpha"),
+        hit("digit_heavy").as("n_digit_heavy"),
+        hit("repetitive").as("n_repetitive"))
+      .orderBy(col("source"))
+  }
+
+  private val q36Sql =
+    """WITH f AS (
+      |  SELECT source,
+      |    length(text) < 50 AS too_short,
+      |    length(text) > 100000 AS too_long,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |         ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      |              / length(text) END < 0.6 AS low_alpha,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |         ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+      |              / length(text) END > 0.2 AS digit_heavy,
+      |    (1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)) > 0.3 AS repetitive
+      |  FROM (SELECT source, text,
+      |          CASE WHEN len(w) < 3 THEN [text]
+      |               ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                     for i in range(1, len(w) - 1)] END AS sh
+      |        FROM (SELECT source, text, string_split(text, ' ') AS w
+      |              FROM documents)))
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(*) FILTER (NOT (too_short OR too_long OR low_alpha
+      |                             OR digit_heavy OR repetitive)) AS BIGINT) AS n_kept,
+      |  CAST(count(*) FILTER (too_short) AS BIGINT) AS n_too_short,
+      |  CAST(count(*) FILTER (low_alpha) AS BIGINT) AS n_low_alpha,
+      |  CAST(count(*) FILTER (digit_heavy) AS BIGINT) AS n_digit_heavy,
+      |  CAST(count(*) FILTER (repetitive) AS BIGINT) AS n_repetitive
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val q21Sql = {
     val c = """round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
               |      CAST(b.embedding AS DOUBLE[])), 6)""".stripMargin
@@ -894,6 +943,7 @@ object Queries {
     "q32_embed_cosine"    -> QueryDef(q32, Some(q32Sql)),
     "q33_dedup_clusters"  -> QueryDef(q33, Some(q33Sql)),
     "q34_decontaminate"   -> QueryDef(q34, Some(q34Sql)),
-    "q35_seq_packing"     -> QueryDef(q35, Some(q35Sql))
+    "q35_seq_packing"     -> QueryDef(q35, Some(q35Sql)),
+    "q36_quality_filter"  -> QueryDef(q36, Some(q36Sql))
   )
 }
