@@ -35,12 +35,26 @@ object Components {
           least(col("u"), col("v")).as("v"))
         .distinct()
 
+    // convergence: the canonical edge set is unchanged (count + an
+    // order-invariant hash-sum; a collision masking a real change would
+    // need a 64-bit coincidence across the whole edge set). The sum runs
+    // in decimal(38,0): ANSI mode is on and a long sum of hashes throws
+    // on overflow.
+    def sig(df: DataFrame): (Long, BigInt) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("h"))
+        .collect()(0)
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigInt(0) else BigInt(r.getDecimal(1).toBigInteger))
+    }
+
     var edges = canon(pairs.select(
         col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
       .localCheckpoint(true)
+    var edgesSig = sig(edges) // carried across rounds: one action per round
 
     var it = 0
-    var converged = edges.isEmpty
+    var converged = edgesSig._1 == 0L
     while (!converged && it < maxIter) {
       // large-star: every node attaches its strictly-larger neighbors to
       // the minimum of its neighborhood (including itself)
@@ -61,19 +75,9 @@ object Components {
           .union(mins2.select(col("u"), col("m").as("v"))))
         .persist(StorageLevel.MEMORY_AND_DISK)
 
-      // convergence: the canonical edge set is unchanged (count + an
-      // order-invariant hash-sum; a collision masking a real change would
-      // need a 64-bit coincidence across the whole edge set). The sum runs
-      // in decimal(38,0): ANSI mode is on and a long sum of hashes throws
-      // on overflow.
-      def sig(df: DataFrame): (Long, BigInt) = {
-        val r = df.agg(count(lit(1)).as("n"),
-          sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("h"))
-          .collect()(0)
-        (r.getLong(0),
-          if (r.isNullAt(1)) BigInt(0) else BigInt(r.getDecimal(1).toBigInteger))
-      }
-      converged = sig(ss) == sig(edges)
+      val ssSig = sig(ss)
+      converged = ssSig == edgesSig
+      edgesSig = ssSig
       val old = edges
       edges = ss.localCheckpoint(true)
       ss.unpersist()
