@@ -731,6 +731,65 @@ object Queries {
       |  CAST(count(*) FILTER (repetitive) AS BIGINT) AS n_repetitive
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** PII redaction audit ([[graft.ops.Redaction]]): the corpus carries no
+    * PII, so the query PLANTS deterministic emails/IPs into the text
+    * (identically constructed in both engines) and audits per-class
+    * redaction counts per source. Counts follow the sequential-scrub
+    * semantics (each class counted on the text as the previous classes
+    * left it) in both engines.
+    */
+  private def q37(spark: SparkSession, dir: String): DataFrame = {
+    val planted = tbl(spark, dir, "documents").withColumn("t",
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com now")))
+        .when(pmod(col("doc_id"), lit(11)) === 3,
+          concat(col("text"), lit(" node 10.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"), lit(".17 down")))
+        .otherwise(col("text")))
+    graft.ops.Redaction.annotate(planted, "t")
+      .groupBy(col("source")).agg(
+        sum(col("n_email")).as("n_email"),
+        sum(col("n_ipv4")).as("n_ipv4"),
+        sum(col("n_ssn_like")).as("n_ssn_like"),
+        sum(col("n_phone")).as("n_phone"),
+        count_if(col("n_email") + col("n_ipv4") + col("n_ssn_like") +
+          col("n_phone") > 0).cast("long").as("n_pii_docs"))
+      .orderBy(col("source"))
+  }
+
+  private val q37Sql = {
+    val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val ipv4 = """\b(?:\d{1,3}\.){3}\d{1,3}\b"""
+    val ssn = """\b\d{3}-\d{2}-\d{4}\b"""
+    val phone = """\+?\d[\d -]{7,14}\d"""
+    s"""WITH p AS (SELECT source,
+       |  CASE WHEN doc_id % 7 = 0
+       |         THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+       |       WHEN doc_id % 11 = 3
+       |         THEN text || ' node 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17 down'
+       |       ELSE text END AS t
+       |  FROM documents),
+       |c AS (SELECT source,
+       |  len(regexp_extract_all(t, '$email')) AS n_email,
+       |  len(regexp_extract_all(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+       |      '$ipv4')) AS n_ipv4,
+       |  len(regexp_extract_all(regexp_replace(regexp_replace(t,
+       |      '$email', '<EMAIL>', 'g'), '$ipv4', '<IP>', 'g'),
+       |      '$ssn')) AS n_ssn_like,
+       |  len(regexp_extract_all(regexp_replace(regexp_replace(regexp_replace(t,
+       |      '$email', '<EMAIL>', 'g'), '$ipv4', '<IP>', 'g'), '$ssn', '<ID>', 'g'),
+       |      '$phone')) AS n_phone
+       |  FROM p)
+       |SELECT source, CAST(sum(n_email) AS BIGINT) AS n_email,
+       |  CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+       |  CAST(sum(n_ssn_like) AS BIGINT) AS n_ssn_like,
+       |  CAST(sum(n_phone) AS BIGINT) AS n_phone,
+       |  CAST(count(*) FILTER (n_email + n_ipv4 + n_ssn_like + n_phone > 0)
+       |    AS BIGINT) AS n_pii_docs
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private val q21Sql = {
     val c = """round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
               |      CAST(b.embedding AS DOUBLE[])), 6)""".stripMargin
@@ -944,6 +1003,7 @@ object Queries {
     "q33_dedup_clusters"  -> QueryDef(q33, Some(q33Sql)),
     "q34_decontaminate"   -> QueryDef(q34, Some(q34Sql)),
     "q35_seq_packing"     -> QueryDef(q35, Some(q35Sql)),
-    "q36_quality_filter"  -> QueryDef(q36, Some(q36Sql))
+    "q36_quality_filter"  -> QueryDef(q36, Some(q36Sql)),
+    "q37_pii_redaction"   -> QueryDef(q37, Some(q37Sql))
   )
 }
