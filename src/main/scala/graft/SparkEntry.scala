@@ -15,7 +15,9 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val cfg = SequenceSynth.Config(rows = 20000)
-    val report = Validator.validate(spark,
+    // the flagship path: one-scan fused validation (stats observed on the
+    // violations action; see Validator.validateOneScan)
+    val report = Validator.validateOneScan(spark,
       SequenceSynth.sequences(spark, cfg),
       SequenceSynth.sourcesDim(spark, cfg),
       Validator.SuiteConfig(vocabSize = cfg.vocabSize,
