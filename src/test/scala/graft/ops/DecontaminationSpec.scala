@@ -31,6 +31,33 @@ class DecontaminationSpec extends AnyFunSuite {
     assert(p == Map((1L, 10L) -> 1.0))
   }
 
+  test("fuzz: matches driver-side brute force on seeded random corpora") {
+    for (seed <- Seq(3L, 17L)) {
+      var state = seed
+      def next(bound: Int): Int = {
+        state = state * 6364136223846793005L + 1442695040888963407L
+        (((state >>> 33) % bound + bound) % bound).toInt
+      }
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+      def doc(): String = Seq.fill(1 + next(8))(vocab(next(vocab.size))).mkString(" ")
+      val train = (0L until 30L).map(i => i -> doc())
+      val eval = (100L until 115L).map(i => i -> doc())
+
+      def shingleSet(t: String): Set[String] = {
+        val w = t.split(" ")
+        if (w.length < 3) Set(t)
+        else w.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val brute = (for {
+        (tid, tt) <- train; (eid, et) <- eval
+        c = shingleSet(et).intersect(shingleSet(tt)).size.toDouble / shingleSet(et).size
+        if c >= 0.4
+      } yield (tid, eid) -> c).toMap
+
+      assert(pairs(train, eval, min = 0.4) == brute, s"seed $seed")
+    }
+  }
+
   test("minContainment filters; maxShingleDf drops boilerplate shingles (recall-lowering only)") {
     // "a b c" occurs in 3 train docs -> dropped at maxDf=2, so e10 loses
     // that shingle's contribution (containment can only go DOWN)
