@@ -790,6 +790,39 @@ object Queries {
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Vocabulary profiling: top-5 words per source by frequency (ties by
+    * word) — explode + two-phase count (map-side partials) + windowed
+    * top-k, the exact heavy-hitters baseline a sketch path would be
+    * checked against.
+    */
+  private def q38(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n").desc, col("word"))
+    tbl(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank").cast("long").as("rank"),
+        col("word"), col("n"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  private val q38Sql =
+    """WITH wc AS (
+      |  SELECT source, w AS word, CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |r AS (SELECT source, word, n,
+      |        row_number() OVER (PARTITION BY source
+      |                           ORDER BY n DESC, word) AS rank
+      |      FROM wc)
+      |SELECT source, CAST(rank AS BIGINT) AS rank, word, n
+      |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin
+
   private val q21Sql = {
     val c = """round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
               |      CAST(b.embedding AS DOUBLE[])), 6)""".stripMargin
@@ -1004,6 +1037,7 @@ object Queries {
     "q34_decontaminate"   -> QueryDef(q34, Some(q34Sql)),
     "q35_seq_packing"     -> QueryDef(q35, Some(q35Sql)),
     "q36_quality_filter"  -> QueryDef(q36, Some(q36Sql)),
-    "q37_pii_redaction"   -> QueryDef(q37, Some(q37Sql))
+    "q37_pii_redaction"   -> QueryDef(q37, Some(q37Sql)),
+    "q38_top_words"       -> QueryDef(q38, Some(q38Sql))
   )
 }
