@@ -35,7 +35,8 @@ object Main {
     }.toMap
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: Main (synth|validate|throughput) [--k v]...")
+    require(args.nonEmpty,
+      "usage: Main (synth|validate|throughput|infer|stream|pipeline) [--k v]...")
     val cmd = args.head
     val opts = argMap(args.tail)
     val spark = session(s"graft-$cmd")
@@ -137,58 +138,23 @@ object Main {
           }
 
       case "pipeline" =>
-        // the full training-data preparation chain over a documents table
-        // (doc_id, text, source): quality gate -> PII scrub -> exact dedup
-        // -> near-dup clusters (keep min id) -> optional decontamination
-        // against --eval-sources -> pack to --budget. Writes the kept,
-        // packed corpus and prints the per-stage funnel.
-        import graft.ops._
-        val docs = spark.read.parquet(opts("input"))
+        // the full training-data preparation chain (graft.ops.Pipeline)
+        // over a documents table (doc_id, text, source); writes the kept,
+        // packed corpus and prints the per-stage funnel
         val out = opts.getOrElse("out", s"${opts("input")}-pipeline")
-        val budget = opts.getOrElse("budget", "4096").toInt
-        val evalSources = opts.get("eval-sources")
-          .map(_.split(",").toSeq).getOrElse(Nil)
-        val n0 = docs.count()
-
-        val clean = QualityFilter.filter(docs, "text")
-        val scrubbed = Redaction.annotate(clean, "text")
-          .withColumn("text", col("text_redacted"))
-          .drop("text_redacted")
-        val (train0, eval) =
-          if (evalSources.isEmpty) (scrubbed, None)
-          else (scrubbed.filter(!col("source").isin(evalSources: _*)),
-            Some(scrubbed.filter(col("source").isin(evalSources: _*))))
-        val exact = Dedup.dropExactDuplicates(train0, "text", "doc_id")
-        val pairs = Dedup.ngramJaccard(exact,
-            Dedup.minhashCandidates(exact, "text", "doc_id",
-              bands = 16, minJaccard = 0.2).select("id_a", "id_b"),
-            "text", "doc_id")
-          .filter(col("jaccard") >= opts.getOrElse("jaccard", "0.8").toDouble)
-        val canonical = exact.join(
-          Components.connectedComponents(pairs, "id_a", "id_b")
-            .filter(col("id") =!= col("component"))
-            .select(col("id").as("doc_id")),
-          Seq("doc_id"), "left_anti")
-        val decontaminated = eval match {
-          case None => canonical
-          case Some(ev) =>
-            canonical.join(
-              Decontamination.containmentPairs(canonical, ev, "text", "doc_id",
-                  minContainment = 0.8)
-                .select(col("train_id").as("doc_id")).distinct(),
-              Seq("doc_id"), "left_anti")
-        }
-        val kept = decontaminated.persist()
-        val nKept = kept.count()
-        val packed = Packing.packGreedy(
-          kept.withColumn("len", length(col("text"))),
-          "source", "doc_id", "len", budget)
-        packed.write.mode("overwrite").parquet(s"$out/packs")
-        kept.write.mode("overwrite").parquet(s"$out/docs")
+        val cfg = graft.ops.Pipeline.Config(
+          evalSources = opts.get("eval-sources")
+            .map(_.split(",").toSeq).getOrElse(Nil),
+          jaccardThreshold = opts.getOrElse("jaccard", "0.8").toDouble,
+          budget = opts.getOrElse("budget", "4096").toInt)
+        val res = graft.ops.Pipeline.run(spark.read.parquet(opts("input")), cfg)
+        res.packed.write.mode("overwrite").parquet(s"$out/packs")
+        res.kept.write.mode("overwrite").parquet(s"$out/docs")
+        val nKept = spark.read.parquet(s"$out/docs").count()
         val nPacks = spark.read.parquet(s"$out/packs").count()
-        println(s"Pipeline: $n0 docs in -> $nKept kept -> $nPacks packs" +
-          s" (budget $budget chars) at $out")
-        kept.unpersist()
+        println(s"Pipeline: ${res.nInput} docs in -> $nKept kept -> $nPacks packs" +
+          s" (budget ${cfg.budget} chars) at $out")
+        res.unpersist()
 
       case other => sys.error(s"unknown command '$other' (want synth|validate|throughput|infer|stream|pipeline)")
     } finally spark.stop()

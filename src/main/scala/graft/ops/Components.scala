@@ -23,9 +23,11 @@ import org.apache.spark.storage.StorageLevel
   */
 object Components {
 
-  /** (id, component) for every id appearing in `pairs`, where component is
-    * the minimum id of the connected component. Ids must be integral
-    * (cast to long); map string keys through a dictionary first.
+  /** (id, component) for every id appearing in a non-self pair (self-pairs
+    * (a, a) are dropped by canonicalization — a node with no real edge
+    * belongs to no component), where component is the minimum id of the
+    * connected component. Ids must be integral (cast to long); map string
+    * keys through a dictionary first.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
@@ -78,10 +80,13 @@ object Components {
       val ssSig = sig(ss)
       converged = ssSig == edgesSig
       edgesSig = ssSig
-      val old = edges
+      // superseded rounds: dropping the `edges` reference is what frees a
+      // localCheckpoint'd frame — its blocks belong to the checkpointed
+      // RDD and are reclaimed by the ContextCleaner once unreachable
+      // (Dataset.unpersist would be a no-op on it); ss's explicit cache is
+      // released here
       edges = ss.localCheckpoint(true)
       ss.unpersist()
-      old.unpersist()
       it += 1
     }
     require(converged || it < maxIter,
@@ -94,8 +99,11 @@ object Components {
       .distinct()
   }
 
-  /** Cluster summary over near-dup pairs: one row per component with >= 2
-    * members — (component, n_docs, min_doc, max_doc). The convenience
+  /** Cluster summary over near-dup pairs: (component, n_docs, min_doc,
+    * max_doc), one row per component. Every component has >= 2 members
+    * because membership comes from the pair list and self-pairs are
+    * dropped by canonicalization — ids appearing ONLY as (a, a) rows do
+    * not join any component (singletons are not clusters). The convenience
     * composition used by the dedup pipeline and the q33 driver query.
     */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame =

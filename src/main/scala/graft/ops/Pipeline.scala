@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The full training-data preparation chain over a documents table
+  * (doc_id, text, source): quality gate -> PII scrub -> exact dedup ->
+  * near-dup clusters (keep min id) -> optional decontamination against an
+  * eval split -> greedy packing. One place wires the stages so the CLI
+  * (`Main pipeline`) and PipelineSpec exercise the SAME composition.
+  *
+  * The scrubbed and exact-dedup frames are persisted for the run: the
+  * quality regexes + redaction projection feed both sides of the near-dup
+  * self-join, the canonical anti-join, and the containment index — without
+  * the persist the regex chain re-executes ~5x per run (CLAUDE.md round-1
+  * lesson: persist the derivation a self-join consumes twice). Call
+  * [[Result.unpersist]] when done.
+  */
+object Pipeline {
+
+  final case class Config(
+      evalSources: Seq[String] = Nil,
+      rules: QualityFilter.Rules = QualityFilter.Rules(),
+      /** near-dup fold threshold (exact word-shingle Jaccard) */
+      jaccardThreshold: Double = 0.8,
+      /** eval-in-train n-gram containment threshold */
+      containmentThreshold: Double = 0.8,
+      /** pack budget in characters of `text` */
+      budget: Int = 4096)
+
+  final case class Result(
+      nInput: Long,
+      scrubbed: DataFrame,
+      eval: Option[DataFrame],
+      exact: DataFrame,
+      pairs: DataFrame,
+      canonical: DataFrame,
+      kept: DataFrame,
+      packed: DataFrame) {
+    def unpersist(): Unit = { scrubbed.unpersist(); exact.unpersist() }
+  }
+
+  def run(docs: DataFrame, cfg: Config = Config()): Result = {
+    val nInput = docs.count()
+
+    val clean = QualityFilter.filter(docs, "text", cfg.rules)
+    val scrubbed = Redaction.annotate(clean, "text")
+      .withColumn("text", col("text_redacted"))
+      .drop("text_redacted")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val (train0, eval) =
+      if (cfg.evalSources.isEmpty) (scrubbed, None)
+      else (scrubbed.filter(!col("source").isin(cfg.evalSources: _*)),
+        Some(scrubbed.filter(col("source").isin(cfg.evalSources: _*))))
+
+    val exact = Dedup.dropExactDuplicates(train0, "text", "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val pairs = Dedup.ngramJaccard(exact,
+        Dedup.minhashCandidates(exact, "text", "doc_id",
+          bands = 16, minJaccard = 0.2).select("id_a", "id_b"),
+        "text", "doc_id")
+      .filter(col("jaccard") >= cfg.jaccardThreshold)
+
+    val canonical = exact.join(
+      Components.connectedComponents(pairs, "id_a", "id_b")
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+
+    val kept = eval match {
+      case None => canonical
+      case Some(ev) =>
+        canonical.join(
+          Decontamination.containmentPairs(canonical, ev, "text", "doc_id",
+              minContainment = cfg.containmentThreshold)
+            .select(col("train_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+    }
+
+    val packed = Packing.packGreedy(
+      kept.withColumn("len", length(col("text"))),
+      "source", "doc_id", "len", cfg.budget)
+
+    Result(nInput, scrubbed, eval, exact, pairs, canonical, kept, packed)
+  }
+}

@@ -31,12 +31,9 @@ class ComponentsSpec extends AnyFunSuite {
 
   test("random graphs match union-find (3 seeds x 200 edges over 120 nodes)") {
     for (seed <- Seq(1L, 7L, 42L)) {
-      var state = seed
-      def next(bound: Int): Long = {
-        state = state * 6364136223846793005L + 1442695040888963407L
-        ((state >>> 33) % bound + bound) % bound
-      }
-      val pairs = Seq.fill(200)((next(120), next(120))).filter(p => p._1 != p._2)
+      val rng = new graft.SeededRng(seed)
+      val pairs = Seq.fill(200)((rng.nextLong(120), rng.nextLong(120)))
+        .filter(p => p._1 != p._2)
       assert(sparkCC(pairs) == unionFind(pairs), s"seed $seed")
     }
   }

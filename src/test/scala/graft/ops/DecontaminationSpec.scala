@@ -33,13 +33,10 @@ class DecontaminationSpec extends AnyFunSuite {
 
   test("fuzz: matches driver-side brute force on seeded random corpora") {
     for (seed <- Seq(3L, 17L)) {
-      var state = seed
-      def next(bound: Int): Int = {
-        state = state * 6364136223846793005L + 1442695040888963407L
-        (((state >>> 33) % bound + bound) % bound).toInt
-      }
+      val rng = new graft.SeededRng(seed)
       val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
-      def doc(): String = Seq.fill(1 + next(8))(vocab(next(vocab.size))).mkString(" ")
+      def doc(): String =
+        Seq.fill(1 + rng.nextInt(8))(vocab(rng.nextInt(vocab.size))).mkString(" ")
       val train = (0L until 30L).map(i => i -> doc())
       val eval = (100L until 115L).map(i => i -> doc())
 

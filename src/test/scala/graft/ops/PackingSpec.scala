@@ -37,12 +37,8 @@ class PackingSpec extends AnyFunSuite {
   }
 
   test("invariants on a seeded random corpus: budget respected, order kept, nothing lost") {
-    var state = 99L
-    def next(bound: Int): Long = {
-      state = state * 6364136223846793005L + 1442695040888963407L
-      ((state >>> 33) % bound + bound) % bound
-    }
-    val rows = (0L until 500L).map(i => (s"s${i % 4}", i, 1L + next(300)))
+    val rng = new graft.SeededRng(99L)
+    val rows = (0L until 500L).map(i => (s"s${i % 4}", i, 1L + rng.nextLong(300)))
     val packs = pack(rows, 512)
     // every id exactly once
     assert(packs.flatMap(_._5).sorted == rows.map(_._2).sorted.toList)

@@ -5,11 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SharedSpark
 
-/** End-to-end training-data pipeline over one synthetic corpus: quality
-  * gate -> PII scrub -> exact dedup -> near-dup clusters -> keep canonical
-  * -> decontaminate vs eval -> pack. Each stage is unit-tested on its own;
-  * this spec guards the COMPOSITION (schemas line up, stages agree on
-  * conventions like keep-min-id) against regressions.
+/** End-to-end training-data pipeline over one synthetic corpus, exercising
+  * the SHIPPED composition ([[Pipeline.run]] — the same code `Main
+  * pipeline` drives): quality gate -> PII scrub -> exact dedup -> near-dup
+  * clusters -> keep canonical -> decontaminate vs eval -> pack. Each stage
+  * is unit-tested on its own; this spec guards the cross-op conventions
+  * (schemas, keep-min-id) through the real wiring.
   */
 class PipelineSpec extends AnyFunSuite {
   lazy val spark = SharedSpark.spark
@@ -29,54 +30,36 @@ class PipelineSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
       .withColumn("source", when(col("doc_id") < 10, "train").otherwise("eval"))
 
-    // 1. quality gate (default rules: minChars 50 drops doc 5)
-    val rules = QualityFilter.Rules(minChars = 50, maxRepetitionRatio = 0.9)
-    val clean = QualityFilter.filter(docs, "text", rules)
-    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet ==
-      Set(1L, 2L, 3L, 4L, 6L, 10L))
+    val res = Pipeline.run(docs, Pipeline.Config(
+      evalSources = Seq("eval"),
+      rules = QualityFilter.Rules(minChars = 50, maxRepetitionRatio = 0.9),
+      jaccardThreshold = 0.5,
+      budget = 200))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
 
-    // 2. PII scrub rewrites doc 6's email and nothing else
-    val scrubbed = Redaction.annotate(clean, "text")
-      .withColumn("text", col("text_redacted"))
-    assert(scrubbed.agg(sum("n_email")).collect()(0).getLong(0) == 1L)
-    assert(scrubbed.filter(col("text").contains("a@b.com")).count() == 0)
+    // 1. quality gate dropped doc 5 (too short); everything else scrubbed
+    assert(ids(res.scrubbed) == Set(1L, 2L, 3L, 4L, 6L, 10L))
 
-    val train = scrubbed.filter(col("source") === "train")
-    val eval = scrubbed.filter(col("source") === "eval")
+    // 2. PII scrub rewrote doc 6's email
+    assert(res.scrubbed.agg(sum("n_email")).collect()(0).getLong(0) == 1L)
+    assert(res.scrubbed.filter(col("text").contains("a@b.com")).count() == 0)
 
-    // 3. exact dedup keeps min id per content (doc 3 drops, identical to 1)
-    val exact = Dedup.dropExactDuplicates(train, "text", "doc_id")
-    assert(exact.select("doc_id").collect().map(_.getLong(0)).toSet ==
-      Set(1L, 2L, 4L, 6L))
+    // 3. exact dedup kept min id per content (doc 3 identical to 1)
+    assert(ids(res.exact) == Set(1L, 2L, 4L, 6L))
 
-    // 4. near-dup pairs -> clusters; {1,2} cluster survives exact dedup
-    val pairs = Dedup.ngramJaccard(exact,
-        Dedup.minhashCandidates(exact, "text", "doc_id", bands = 16,
-          minJaccard = 0.2).select("id_a", "id_b"),
-        "text", "doc_id").filter(col("jaccard") >= 0.5)
-    val clusters = Components.connectedComponents(pairs, "id_a", "id_b")
-    val canonical = exact.join(
-      clusters.filter(col("id") =!= col("component")).select(col("id").as("doc_id")),
-      Seq("doc_id"), "left_anti")
-    assert(canonical.select("doc_id").collect().map(_.getLong(0)).toSet ==
-      Set(1L, 4L, 6L)) // 2 folded into cluster min 1
+    // 4. near-dup cluster {1,2} folded to its min id
+    assert(ids(res.canonical) == Set(1L, 4L, 6L))
 
-    // 5. decontaminate: eval doc 10 is contained in kept train doc 1
-    val contam = Decontamination.containmentPairs(canonical, eval,
-      "text", "doc_id", minContainment = 0.8)
-    assert(contam.select("train_id", "eval_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 10L)))
-    val decontaminated = canonical.join(
-      contam.select(col("train_id").as("doc_id")).distinct(),
-      Seq("doc_id"), "left_anti")
-    assert(decontaminated.select("doc_id").collect().map(_.getLong(0)).toSet ==
-      Set(4L, 6L))
+    // 5. decontamination removed doc 1 (contains the eval doc)
+    assert(res.pairs.count() >= 1) // the {1,2} near-dup pair was found
+    assert(ids(res.kept) == Set(4L, 6L))
 
-    // 6. pack what survived
-    val packed = Packing.packGreedy(
-      decontaminated.withColumn("len", length(col("text"))),
-      "source", "doc_id", "len", budget = 200)
-    val packs = packed.collect().map(r => (r.getLong(1), r.getSeq[Long](4).toList))
+    // 6. the survivors packed into one budget-respecting pack
+    val packs = res.packed.collect()
+      .map(r => (r.getLong(1), r.getSeq[Long](4).toList))
     assert(packs.toSeq == Seq((0L, List(4L, 6L))))
+
+    res.unpersist()
   }
 }
