@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental near-duplicate detection against a PERSISTED LSH signature
+  * index — the append-mode shape of [[Dedup.minhashCandidates]]: when a
+  * corpus grows by a fraction, only the new documents are shingled and
+  * only (new x old) + (new x new) bucket pairs are generated, never the
+  * old-x-old work that already ran.
+  *
+  * Index layout: one parquet row per (band, band_hash, id, sig),
+  * partitioned by `band` so a probe's per-band join prunes to its own
+  * directory. Within a band the join key is band_hash — at warehouse scale
+  * write the index as a table BUCKETED by band_hash so the probe join
+  * co-locates without a shuffle of the index side; the parquet layout here
+  * keeps the same row shape, so that is a writer swap, not a redesign.
+  * Appends are plain parquet appends (the layout is append-stable).
+  */
+object IncrementalDedup {
+
+  /** The banded signature rows of a corpus (the index's row shape). */
+  private def signatureRows(df: DataFrame, textCol: String, idCol: String,
+                            shingleK: Int, perms: Int, bands: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        Dedup.minhashSignature(
+          TextOps.shingles(col(textCol), shingleK), perms).as("sig"))
+      .withColumn("bandinfo",
+        explode(Dedup.lshBands(col("sig"), bands, perms)))
+      .select(col("bandinfo.band").as("band"),
+        col("bandinfo.band_hash").as("band_hash"),
+        col("id"), col("sig"))
+
+  /** Build (mode=overwrite) or grow (mode=append) the index. */
+  def writeIndex(df: DataFrame, textCol: String, idCol: String, path: String,
+                 shingleK: Int = 3, perms: Int = 32, bands: Int = 16,
+                 mode: String = "overwrite"): Unit =
+    signatureRows(df, textCol, idCol, shingleK, perms, bands)
+      .write.mode(mode).option("partitionOverwriteMode", "dynamic")
+      .partitionBy("band").parquet(path)
+
+  /** Candidate pairs for a batch of NEW documents: (new x indexed) via the
+    * band join against the stored index, plus (new x new) within the
+    * batch; never (indexed x indexed). `est_jaccard` is the signature
+    * agreement fraction — rerank survivors with [[Dedup.ngramJaccard]]
+    * against the full corpus. Parameters must match the index's build
+    * parameters (they define the banding).
+    */
+  def newDocCandidates(spark: SparkSession, newDocs: DataFrame,
+                       textCol: String, idCol: String, indexPath: String,
+                       shingleK: Int = 3, perms: Int = 32, bands: Int = 16,
+                       minJaccard: Double = 0.5): DataFrame = {
+    val fresh = signatureRows(newDocs, textCol, idCol, shingleK, perms, bands)
+      .persist()
+    val index = spark.read.parquet(indexPath)
+
+    def agree = size(filter(zip_with(col("n.sig"), col("o.sig"),
+      (a, b) => a === b), x => x)) / lit(perms.toDouble)
+
+    // new x old: the probe side is the SMALL side — broadcast it when it
+    // fits (AQE decides); the index side never reshuffles its old rows
+    // into new-new buckets
+    val vsOld = fresh.alias("n").join(index.alias("o"),
+        col("n.band") === col("o.band") &&
+          col("n.band_hash") === col("o.band_hash") &&
+          col("n.id") =!= col("o.id"))
+      .select(least(col("n.id"), col("o.id")).as("id_a"),
+        greatest(col("n.id"), col("o.id")).as("id_b"),
+        agree.as("est_jaccard"))
+
+    // new x new within the batch
+    val l = fresh.alias("n"); val r = fresh.alias("o")
+    val vsNew = l.join(r,
+        col("n.band") === col("o.band") &&
+          col("n.band_hash") === col("o.band_hash") &&
+          col("n.id") < col("o.id"))
+      .select(col("n.id").as("id_a"), col("o.id").as("id_b"),
+        agree.as("est_jaccard"))
+
+    vsOld.unionByName(vsNew)
+      .filter(col("est_jaccard") >= minJaccard)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+}

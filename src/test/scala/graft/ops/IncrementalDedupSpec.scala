@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class IncrementalDedupSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  val base = "the quick brown fox jumps over the lazy dog near the river bank"
+  val other = "completely different words about mountains and snow and wind"
+
+  def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("append-mode mining: new-vs-old and new-vs-new found, old-vs-old never re-emitted") {
+    val dir = java.nio.file.Files.createTempDirectory("incdedup").toString + "/idx"
+    // initial corpus: docs 1 and 2 are near-dups of each other
+    IncrementalDedup.writeIndex(
+      docs(1L -> s"$base one", 2L -> s"$base two", 3L -> other),
+      "text", "doc_id", dir)
+
+    // batch: 10 near-dups 1/2, 11 near-dups 12 (within batch), 13 is novel
+    val batch = docs(
+      10L -> s"$base ten",
+      11L -> s"$other alpha",
+      12L -> s"$other beta",
+      13L -> "utterly unrelated content in every single shingle position here")
+    val cands = IncrementalDedup.newDocCandidates(spark, batch,
+        "text", "doc_id", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(cands.contains((1L, 10L)) && cands.contains((2L, 10L))) // new x old
+    assert(cands.contains((11L, 12L)))                             // new x new
+    assert(cands.contains((3L, 11L)) && cands.contains((3L, 12L))) // new x old
+    assert(!cands.contains((1L, 2L)), "old x old must not be re-mined")
+    assert(!cands.exists(p => p._1 == 13L || p._2 == 13L))
+
+    // grow the index with the batch; a later batch sees corpus + batch
+    IncrementalDedup.writeIndex(batch, "text", "doc_id", dir, mode = "append")
+    val cands2 = IncrementalDedup.newDocCandidates(spark,
+        docs(20L -> s"$base twenty"), "text", "doc_id", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands2 == Set((1L, 20L), (2L, 20L), (10L, 20L)))
+  }
+
+  test("incremental candidates agree with full-corpus mining on the union") {
+    val dir = java.nio.file.Files.createTempDirectory("incdedup2").toString + "/idx"
+    val old = docs(1L -> s"$base one", 2L -> s"$base two", 3L -> other)
+    val batch = docs(10L -> s"$base ten", 11L -> s"$other gamma")
+    IncrementalDedup.writeIndex(old, "text", "doc_id", dir)
+
+    val incremental = IncrementalDedup.newDocCandidates(spark, batch,
+        "text", "doc_id", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashCandidates(old.unionByName(batch),
+        "text", "doc_id", bands = 16, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // full mining restricted to pairs touching the batch == incremental
+    val batchIds = Set(10L, 11L)
+    assert(incremental ==
+      full.filter(p => batchIds.contains(p._1) || batchIds.contains(p._2)))
+  }
+}
