@@ -129,4 +129,49 @@ class PlanSpec extends AnyFunSuite {
       emb, "embedding", "vec_id", Seq.fill(64)(0.1f), 10))
     assert(p.contains("TakeOrderedAndProject"), s"top-k must use heaps:\n$p")
   }
+
+  // Exchange nodes (shuffle AND broadcast — a broadcast of text is the
+  // same hygiene violation) of the df built by `mk`. Built with AQE off:
+  // AdaptiveSparkPlanExec hides its exchanges from collect until
+  // execution, and sparkPlan predates EnsureRequirements entirely.
+  private def exchangeOutputs(mk: => DataFrame): Seq[Seq[String]] = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try mk.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange =>
+        e.output.map(_.name).toSeq
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("decontamination shuffles only (hash, id) rows — never text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = graft.ops.Decontamination.containmentPairs(
+      docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+      "text", "doc_id")
+    val exchanges = exchangeOutputs(pairs)
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { cols =>
+      assert(!cols.exists(_.contains("text")),
+        s"an exchange carries text: ${cols.mkString(",")}")
+    }
+  }
+
+  test("one-scan suite: no exchange at all on the violations+stats job") {
+    val df = spark.read.parquet(seqDir)
+    val (observed, _) = Validator.observeStats(df, suite)
+    val viols = Validator.violations(observed, suite)
+    assert(exchangeOutputs(viols).isEmpty,
+      "the fused scan is shuffle-free (stats ride an accumulator)")
+    assert(viols.queryExecution.executedPlan.toString.contains("CollectMetrics"))
+  }
+
+  test("packing's only exchange ships (group, id, len) — never the payload") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val packed = graft.ops.Packing.packGreedy(
+      docs.withColumn("len", length(col("text"))),
+      "source", "doc_id", "len", 1024)
+    exchangeOutputs(packed).foreach { cols =>
+      assert(!cols.exists(_.contains("text")),
+        s"an exchange carries text: ${cols.mkString(",")}")
+    }
+  }
 }
