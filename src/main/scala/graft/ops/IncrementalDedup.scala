@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
 object IncrementalDedup {
 
   /** The banded signature rows of a corpus (the index's row shape). */
-  private def signatureRows(df: DataFrame, textCol: String, idCol: String,
-                            shingleK: Int, perms: Int, bands: Int): DataFrame =
+  private[graft] def signatureRows(df: DataFrame, textCol: String, idCol: String,
+                                   shingleK: Int, perms: Int, bands: Int): DataFrame =
     df.select(col(idCol).as("id"),
         Dedup.minhashSignature(
           TextOps.shingles(col(textCol), shingleK), perms).as("sig"))

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class StreamingDedupSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  val base = "the quick brown fox jumps over the lazy dog near the river bank"
+  val other = "completely different words about mountains and snow and wind"
+  val p = StreamingDedup.Params()
+
+  private def pairsOf(stateDir: String): Map[(Long, Long), Long] =
+    spark.read.parquet(StreamingDedup.candidatesPath(stateDir))
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("batch_id")).toMap
+
+  test("per-batch mining: each batch pays for itself, replay is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("sdedup").toString
+    val b0 = Seq(1L -> s"$base one", 2L -> s"$base two", 3L -> other)
+      .toDF("doc_id", "text")
+    val b1 = Seq(10L -> s"$base ten", 11L -> ("utterly unrelated content in " +
+      "every single shingle position of this sentence")).toDF("doc_id", "text")
+
+    StreamingDedup.processBatch(spark, b0, 0L, dir, p)
+    assert(pairsOf(dir) == Map((1L, 2L) -> 0L))
+
+    StreamingDedup.processBatch(spark, b1, 1L, dir, p)
+    assert(pairsOf(dir) ==
+      Map((1L, 2L) -> 0L, (1L, 10L) -> 1L, (2L, 10L) -> 1L))
+
+    // replay of batch 1 (crash-recovery path): same state afterwards, and
+    // the index holds each batch's signatures exactly once
+    StreamingDedup.processBatch(spark, b1, 1L, dir, p)
+    assert(pairsOf(dir) ==
+      Map((1L, 2L) -> 0L, (1L, 10L) -> 1L, (2L, 10L) -> 1L))
+    val idx = spark.read.parquet(StreamingDedup.indexPath(dir))
+    assert(idx.count() == idx.dropDuplicates("band", "band_hash", "id").count())
+
+    // stream == batch: the union of per-batch pairs equals full mining
+    val full = graft.ops.Dedup.minhashCandidates(
+        b0.unionByName(b1), "text", "doc_id",
+        bands = p.bands, minJaccard = p.minJaccard)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsOf(dir).keySet == full)
+  }
+}
