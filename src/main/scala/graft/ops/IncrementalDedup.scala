@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   * co-locates without a shuffle of the index side; the parquet layout here
   * keeps the same row shape, so that is a writer swap, not a redesign.
   * Appends are plain parquet appends (the layout is append-stable).
+  *
+  * Giant buckets are capped by COMBINED size (index + batch rows per
+  * (band, band_hash)), the same `maxBucket` semantics as full mining
+  * measured over the union corpus — so incremental results equal full
+  * mining restricted to batch-touching pairs, degenerate buckets
+  * included.
   */
 object IncrementalDedup {
 
@@ -39,47 +45,85 @@ object IncrementalDedup {
       .write.mode(mode).option("partitionOverwriteMode", "dynamic")
       .partitionBy("band").parquet(path)
 
-  /** Candidate pairs for a batch of NEW documents: (new x indexed) via the
-    * band join against the stored index, plus (new x new) within the
-    * batch; never (indexed x indexed). `est_jaccard` is the signature
-    * agreement fraction — rerank survivors with [[Dedup.ngramJaccard]]
-    * against the full corpus. Parameters must match the index's build
-    * parameters (they define the banding).
+  /** Candidate pairs from prepared signature rows: (fresh x index) +
+    * (fresh x fresh), bucket-capped on the COMBINED bucket size. `fresh`
+    * is consumed by several subplans — pass it persisted (the callers
+    * own its lifecycle).
     */
-  def newDocCandidates(spark: SparkSession, newDocs: DataFrame,
-                       textCol: String, idCol: String, indexPath: String,
-                       shingleK: Int = 3, perms: Int = 32, bands: Int = 16,
-                       minJaccard: Double = 0.5): DataFrame = {
-    val fresh = signatureRows(newDocs, textCol, idCol, shingleK, perms, bands)
-      .persist()
-    val index = spark.read.parquet(indexPath)
+  private[graft] def candidatePairs(fresh: DataFrame, index: Option[DataFrame],
+                                    perms: Int, minJaccard: Double,
+                                    maxBucket: Int): DataFrame = {
+    val freshCounts = fresh.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("fc"))
+    val combined = index match {
+      case None => freshCounts.select(col("band"), col("band_hash"),
+        col("fc").as("n"))
+      case Some(idx) =>
+        val ic = idx.groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("ic"))
+        freshCounts.join(ic, Seq("band", "band_hash"), "left")
+          .select(col("band"), col("band_hash"),
+            (col("fc") + coalesce(col("ic"), lit(0L))).as("n"))
+    }
+    // only buckets the batch touches matter, and only small ones join
+    val okBuckets = combined.filter(col("n") <= maxBucket)
+      .select(col("band"), col("band_hash"))
+    val freshOk = fresh.join(okBuckets, Seq("band", "band_hash"))
 
     def agree = size(filter(zip_with(col("n.sig"), col("o.sig"),
       (a, b) => a === b), x => x)) / lit(perms.toDouble)
 
-    // new x old: the probe side is the SMALL side — broadcast it when it
-    // fits (AQE decides); the index side never reshuffles its old rows
-    // into new-new buckets
-    val vsOld = fresh.alias("n").join(index.alias("o"),
-        col("n.band") === col("o.band") &&
-          col("n.band_hash") === col("o.band_hash") &&
-          col("n.id") =!= col("o.id"))
-      .select(least(col("n.id"), col("o.id")).as("id_a"),
-        greatest(col("n.id"), col("o.id")).as("id_b"),
-        agree.as("est_jaccard"))
-
-    // new x new within the batch
-    val l = fresh.alias("n"); val r = fresh.alias("o")
-    val vsNew = l.join(r,
+    // fresh x fresh within the batch
+    val vsNew = freshOk.alias("n").join(freshOk.alias("o"),
         col("n.band") === col("o.band") &&
           col("n.band_hash") === col("o.band_hash") &&
           col("n.id") < col("o.id"))
       .select(col("n.id").as("id_a"), col("o.id").as("id_b"),
         agree.as("est_jaccard"))
 
-    vsOld.unionByName(vsNew)
-      .filter(col("est_jaccard") >= minJaccard)
+    // fresh x indexed: the probe side is the SMALL side — broadcast it
+    // when it fits (AQE decides); the index side never reshuffles its old
+    // rows into new-new buckets
+    val all = index match {
+      case None => vsNew
+      case Some(idx) =>
+        val vsOld = freshOk.alias("n")
+          .join(idx.join(okBuckets, Seq("band", "band_hash")).alias("o"),
+            col("n.band") === col("o.band") &&
+              col("n.band_hash") === col("o.band_hash") &&
+              col("n.id") =!= col("o.id"))
+          .select(least(col("n.id"), col("o.id")).as("id_a"),
+            greatest(col("n.id"), col("o.id")).as("id_b"),
+            agree.as("est_jaccard"))
+        vsOld.unionByName(vsNew)
+    }
+    all.filter(col("est_jaccard") >= minJaccard)
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** Candidate pairs for a batch of NEW documents: (new x indexed) via the
+    * band join against the stored index, plus (new x new) within the
+    * batch; never (indexed x indexed). `est_jaccard` is the signature
+    * agreement fraction — rerank survivors with [[Dedup.ngramJaccard]]
+    * against the full corpus. Parameters must match the index's build
+    * parameters (they define the banding).
+    *
+    * `materialize = true` persists the batch's narrow signature table so
+    * the count/new-new/new-old subplans share one shingle pass — the
+    * caller releases it (`spark.catalog.clearCache()`) after consuming the
+    * candidates, exactly like [[Dedup]]'s candidate miners; long-running
+    * loops should use the handle-returning variant in
+    * [[graft.streaming.StreamingDedup]]'s shape instead.
+    */
+  def newDocCandidates(spark: SparkSession, newDocs: DataFrame,
+                       textCol: String, idCol: String, indexPath: String,
+                       shingleK: Int = 3, perms: Int = 32, bands: Int = 16,
+                       minJaccard: Double = 0.5, maxBucket: Int = 64,
+                       materialize: Boolean = true): DataFrame = {
+    val rows = signatureRows(newDocs, textCol, idCol, shingleK, perms, bands)
+    val fresh = if (materialize) rows.persist() else rows
+    candidatePairs(fresh, Some(spark.read.parquet(indexPath)),
+      perms, minJaccard, maxBucket)
   }
 }

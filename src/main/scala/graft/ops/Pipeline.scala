@@ -10,12 +10,13 @@ import org.apache.spark.storage.StorageLevel
   * eval split -> greedy packing. One place wires the stages so the CLI
   * (`Main pipeline`) and PipelineSpec exercise the SAME composition.
   *
-  * The scrubbed and exact-dedup frames are persisted for the run: the
-  * quality regexes + redaction projection feed both sides of the near-dup
-  * self-join, the canonical anti-join, and the containment index — without
-  * the persist the regex chain re-executes ~5x per run (CLAUDE.md round-1
-  * lesson: persist the derivation a self-join consumes twice). Call
-  * [[Result.unpersist]] when done.
+  * The scrubbed, exact-dedup, and kept frames are persisted for the run:
+  * the quality regexes + redaction projection feed both sides of the
+  * near-dup self-join, the canonical anti-join, and the containment index,
+  * and kept feeds both outputs — without the persists the regex chain
+  * re-executes ~5x per run (CLAUDE.md round-1 lesson: persist the
+  * derivation a self-join consumes twice). Call [[Result.unpersist]] when
+  * done.
   */
 object Pipeline {
 
@@ -38,7 +39,9 @@ object Pipeline {
       canonical: DataFrame,
       kept: DataFrame,
       packed: DataFrame) {
-    def unpersist(): Unit = { scrubbed.unpersist(); exact.unpersist() }
+    def unpersist(): Unit = {
+      scrubbed.unpersist(); exact.unpersist(); kept.unpersist()
+    }
   }
 
   def run(docs: DataFrame, cfg: Config = Config()): Result = {
@@ -58,9 +61,13 @@ object Pipeline {
     val exact = Dedup.dropExactDuplicates(train0, "text", "doc_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // materialize=false: the signature derivation re-reads the PERSISTED
+    // exact frame per join side instead of leaving an unreleasable cached
+    // signature table behind (Result.unpersist has no handle to it)
     val pairs = Dedup.ngramJaccard(exact,
         Dedup.minhashCandidates(exact, "text", "doc_id",
-          bands = 16, minJaccard = 0.2).select("id_a", "id_b"),
+          bands = 16, minJaccard = 0.2, materialize = false)
+          .select("id_a", "id_b"),
         "text", "doc_id")
       .filter(col("jaccard") >= cfg.jaccardThreshold)
 
@@ -70,7 +77,9 @@ object Pipeline {
         .select(col("id").as("doc_id")),
       Seq("doc_id"), "left_anti")
 
-    val kept = eval match {
+    // kept feeds both pipeline outputs (the packs AND the corpus write) —
+    // persisted so the rerank + anti-join lineage runs once
+    val kept = (eval match {
       case None => canonical
       case Some(ev) =>
         canonical.join(
@@ -78,7 +87,7 @@ object Pipeline {
               minContainment = cfg.containmentThreshold)
             .select(col("train_id").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
-    }
+    }).persist(StorageLevel.MEMORY_AND_DISK)
 
     val packed = Packing.packGreedy(
       kept.withColumn("len", length(col("text"))),

@@ -3,6 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.storage.StorageLevel
 
 import graft.ops.IncrementalDedup
 
@@ -12,13 +14,16 @@ import graft.ops.IncrementalDedup
   * (new x all-prior) + (new x new) candidate pairs, writes them, and then
   * appends its own signatures so later batches see it. Old x old work is
   * never repeated — per-batch cost is proportional to the batch, not the
-  * corpus.
+  * corpus. The batch's signature table is persisted for the batch (one
+  * shingle pass feeds the bucket counts, both joins, AND the index
+  * append) and released before the batch returns.
   *
   * Exactly-once across restarts, without a watermark file:
-  *  - candidates are written partitioned by batch_id with dynamic
-  *    overwrite — a replayed batch overwrites its own pairs;
+  *  - each batch's candidates land in their own `batch_id=N` directory
+  *    (full overwrite — idempotent on replay, readable even when a batch
+  *    finds zero pairs);
   *  - the index is partitioned by (band, batch_id) and written with
-  *    dynamic overwrite too, so a replayed append is idempotent;
+  *    dynamic overwrite, so a replayed append is idempotent;
   *  - a replay that probes an index already containing its own batch
   *    (crash between the two writes) only re-derives pairs the in-batch
   *    join produces anyway — the (id_a, id_b) groupBy collapses them and
@@ -31,7 +36,8 @@ object StreamingDedup {
   def checkpointPath(statePath: String) = s"$statePath/checkpoint"
 
   final case class Params(shingleK: Int = 3, perms: Int = 32,
-                          bands: Int = 16, minJaccard: Double = 0.5)
+                          bands: Int = 16, minJaccard: Double = 0.5,
+                          maxBucket: Int = 64)
 
   private[streaming] def processBatch(spark: SparkSession, batch: DataFrame,
                                       batchId: Long, statePath: String,
@@ -41,39 +47,44 @@ object StreamingDedup {
     val haveIndex = fs.exists(fs.makeQualified(
       new org.apache.hadoop.fs.Path(indexPath(statePath))))
 
-    val cands =
-      if (haveIndex)
-        IncrementalDedup.newDocCandidates(spark, batch, "text", "doc_id",
-          indexPath(statePath), p.shingleK, p.perms, p.bands, p.minJaccard)
-      else // first batch: only new x new exists
-        graft.ops.Dedup.minhashCandidates(batch, "text", "doc_id",
-          p.shingleK, p.perms, p.bands, p.minJaccard, materialize = false)
-    cands
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(candidatesPath(statePath))
-
-    // append AFTER probing (a batch must not meet itself via the index);
-    // (band, batch_id) partitioning makes the replayed append idempotent
-    IncrementalDedup.signatureRows(batch, "text", "doc_id",
+    val fresh = IncrementalDedup.signatureRows(batch, "text", "doc_id",
         p.shingleK, p.perms, p.bands)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("band", "batch_id")
-      .parquet(indexPath(statePath))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val index =
+        if (haveIndex) Some(spark.read.parquet(indexPath(statePath)))
+        else None
+      // per-batch directory, full overwrite: idempotent on replay and a
+      // zero-pair batch still writes a schema-bearing (empty) file, so
+      // the candidates root stays readable from the first batch on
+      IncrementalDedup.candidatePairs(fresh, index,
+          p.perms, p.minJaccard, p.maxBucket)
+        .repartition(1)
+        .write.mode("overwrite")
+        .parquet(s"${candidatesPath(statePath)}/batch_id=$batchId")
+
+      // append AFTER probing (a batch must not meet itself via the index)
+      fresh
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("band", "batch_id")
+        .parquet(indexPath(statePath))
+    } finally fresh.unpersist()
   }
 
   /** Start the stream over a flat directory of parquet document files.
     * AvailableNow by default (the scheduled incremental-batch deployment).
+    * Pass `schema` when deploying against a directory that may still be
+    * empty — without it the schema is inferred from a batch read of the
+    * existing files.
     */
   def start(spark: SparkSession, inputDir: String, statePath: String,
             params: Params = Params(),
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val schema = spark.read.parquet(inputDir).schema
-    spark.readStream.schema(schema).parquet(inputDir)
+            trigger: Trigger = Trigger.AvailableNow(),
+            schema: Option[StructType] = None): StreamingQuery = {
+    val s = schema.getOrElse(spark.read.parquet(inputDir).schema)
+    spark.readStream.schema(s).parquet(inputDir)
       .writeStream
       .option("checkpointLocation", checkpointPath(statePath))
       .trigger(trigger)

@@ -169,7 +169,9 @@ class PlanSpec extends AnyFunSuite {
     val packed = graft.ops.Packing.packGreedy(
       docs.withColumn("len", length(col("text"))),
       "source", "doc_id", "len", 1024)
-    exchangeOutputs(packed).foreach { cols =>
+    val exchanges = exchangeOutputs(packed)
+    assert(exchanges.nonEmpty, "the group exchange must be visible")
+    exchanges.foreach { cols =>
       assert(!cols.exists(_.contains("text")),
         s"an exchange carries text: ${cols.mkString(",")}")
     }

@@ -45,6 +45,19 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(cands2 == Set((1L, 20L), (2L, 20L), (10L, 20L)))
   }
 
+  test("bucket cap measures the COMBINED (index + batch) bucket size") {
+    val dir = java.nio.file.Files.createTempDirectory("incdedup3").toString + "/idx"
+    // 5 indexed + 2 new docs with IDENTICAL text: every bucket has 7 rows
+    val old = docs((1L to 5L).map(i => i -> s"$base same"): _*)
+    val batch = docs(10L -> s"$base same", 11L -> s"$base same")
+    IncrementalDedup.writeIndex(old, "text", "doc_id", dir)
+    def mine(cap: Int) = IncrementalDedup.newDocCandidates(spark, batch,
+        "text", "doc_id", dir, maxBucket = cap).count()
+    assert(mine(4) == 0L, "7-row buckets must be dropped at cap 4, like full mining")
+    assert(mine(10) == 11L) // 2 new x 5 old + 1 new-new pair
+    spark.catalog.clearCache()
+  }
+
   test("incremental candidates agree with full-corpus mining on the union") {
     val dir = java.nio.file.Files.createTempDirectory("incdedup2").toString + "/idx"
     val old = docs(1L -> s"$base one", 2L -> s"$base two", 3L -> other)

@@ -16,7 +16,15 @@ class StreamingDedupSpec extends AnyFunSuite {
     spark.read.parquet(StreamingDedup.candidatesPath(stateDir))
       .collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
-        r.getAs[Long]("batch_id")).toMap
+        // batch_id is a hive-style partition directory -> inferred int
+        r.getAs[Number]("batch_id").longValue()).toMap
+
+  test("a zero-pair batch still leaves the candidates root readable") {
+    val dir = java.nio.file.Files.createTempDirectory("sdedup0").toString
+    val lonely = Seq(1L -> s"$base one", 2L -> other).toDF("doc_id", "text")
+    StreamingDedup.processBatch(spark, lonely, 0L, dir, p)
+    assert(spark.read.parquet(StreamingDedup.candidatesPath(dir)).count() == 0)
+  }
 
   test("per-batch mining: each batch pays for itself, replay is idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("sdedup").toString
