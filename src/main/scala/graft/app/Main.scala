@@ -36,7 +36,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: Main (synth|validate|throughput|infer|stream|pipeline) [--k v]...")
+      "usage: Main (synth|validate|throughput|infer|stream|pipeline|dedup-stream) [--k v]...")
     val cmd = args.head
     val opts = argMap(args.tail)
     val spark = session(s"graft-$cmd")
@@ -156,7 +156,22 @@ object Main {
           s" (budget ${cfg.budget} chars) at $out")
         res.unpersist()
 
-      case other => sys.error(s"unknown command '$other' (want synth|validate|throughput|infer|stream|pipeline)")
+      case "dedup-stream" =>
+        // continuous near-dup mining over a growing documents directory
+        // (graft.streaming.StreamingDedup): probe the signature index,
+        // write per-batch candidate pairs, append the batch's signatures
+        val input = opts("input")
+        val statePath = opts.getOrElse("state", s"$input-dedup-state")
+        val q = graft.streaming.StreamingDedup.start(spark, input, statePath,
+          graft.streaming.StreamingDedup.Params(
+            minJaccard = opts.getOrElse("jaccard", "0.5").toDouble))
+        q.awaitTermination()
+        val cands = spark.read.parquet(
+          graft.streaming.StreamingDedup.candidatesPath(statePath))
+        println(s"Candidate near-dup pairs so far: ${cands.count()} " +
+          s"(state at $statePath)")
+
+      case other => sys.error(s"unknown command '$other' (want synth|validate|throughput|infer|stream|pipeline|dedup-stream)")
     } finally spark.stop()
   }
 }
