@@ -823,6 +823,36 @@ object Queries {
       |SELECT source, CAST(rank AS BIGINT) AS rank, word, n
       |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin
 
+  /** Duplicate-span detection ([[graft.ops.DupSpans]], the exact-substring
+    * dedup family at 8-word-window granularity): maximal duplicated spans
+    * per document, graded against the DuckDB window + gaps-and-islands
+    * truth over the same rolling windows.
+    */
+  private def q39(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.DupSpans.dupSpans(tbl(spark, dir, "documents"),
+        "text", "doc_id", windowWords = 8)
+      .orderBy(col("id"), col("span_start"))
+
+  private val q39Sql =
+    """WITH shl AS (SELECT doc_id,
+      |    CASE WHEN len(w) < 8 THEN [text]
+      |         ELSE [array_to_string(w[i:i+7], ' ')
+      |               for i in range(1, len(w) - 6)] END AS sh
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+      |        FROM documents)),
+      |win AS (SELECT doc_id,
+      |    generate_subscripts(sh, 1) - 1 AS pos, unnest(sh) AS h
+      |  FROM shl),
+      |dup AS (SELECT h FROM win GROUP BY h HAVING count(*) > 1),
+      |flagged AS (SELECT doc_id, pos FROM win JOIN dup USING (h)),
+      |isl AS (SELECT doc_id, pos,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM flagged)
+      |SELECT doc_id AS id, CAST(min(pos) AS BIGINT) AS span_start,
+      |  CAST(count(*) + 7 AS BIGINT) AS span_words
+      |FROM isl GROUP BY doc_id, island
+      |ORDER BY id, span_start""".stripMargin
+
   private val q21Sql = {
     val c = """round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
               |      CAST(b.embedding AS DOUBLE[])), 6)""".stripMargin
@@ -1038,6 +1068,7 @@ object Queries {
     "q35_seq_packing"     -> QueryDef(q35, Some(q35Sql)),
     "q36_quality_filter"  -> QueryDef(q36, Some(q36Sql)),
     "q37_pii_redaction"   -> QueryDef(q37, Some(q37Sql)),
-    "q38_top_words"       -> QueryDef(q38, Some(q38Sql))
+    "q38_top_words"       -> QueryDef(q38, Some(q38Sql)),
+    "q39_dup_spans"       -> QueryDef(q39, Some(q39Sql))
   )
 }

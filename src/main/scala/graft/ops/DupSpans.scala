@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Duplicate-span detection — the exact-substring family of corpus dedup
+  * (Lee et al., "Deduplicating Training Data Makes Language Models
+  * Better"), at word-window granularity: find every maximal run of
+  * consecutive L-word windows whose content occurs more than once in the
+  * corpus, and report it as a (doc, start, length) span. Downstream
+  * pipelines cut or down-weight the spans instead of dropping whole
+  * documents.
+  *
+  * Execution shape: one pass derives every document's rolling L-window
+  * hashes WITH positions (posexplode over the single-walk ShingleHashes);
+  * the only wide exchange groups 8-byte window hashes to find those with
+  * more than one occurrence; flagged windows come back as (id, pos) rows
+  * and consecutive positions merge into maximal spans with the classic
+  * gaps-and-islands trick (pos - row_number() is constant within a run) —
+  * a per-document window, never a global sort. Text itself never crosses
+  * the wire. 64-bit window-hash collisions can in principle glue two
+  * different spans (~n²/2⁶⁴); exactness-critical uses re-verify span text.
+  */
+object DupSpans {
+
+  /** (id, span_start, span_words) — maximal duplicated spans, where
+    * span_start is the 0-based word offset and span_words the span length
+    * in words (a run of k consecutive duplicated L-windows covers
+    * k + L - 1 words). Windows shorter than L words hash the whole text
+    * (ShingleHashes fallback), so exact whole-doc duplicates shorter than
+    * L still surface as spans.
+    */
+  def dupSpans(df: DataFrame, textCol: String, idCol: String,
+               windowWords: Int = 8): DataFrame = {
+    val windows = df.select(col(idCol).as("id"),
+        posexplode(TextOps.shingles(col(textCol), windowWords))
+          .as(Seq("pos", "h")))
+
+    // windows occurring 2+ times anywhere (cross- OR within-doc repeats,
+    // matching the substring-dedup definition)
+    val dupHashes = windows.groupBy(col("h"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).select("h")
+
+    val flagged = windows.join(dupHashes, "h").select(col("id"), col("pos"))
+
+    // gaps and islands: consecutive positions share (pos - row_number)
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    flagged
+      .withColumn("island", col("pos") - row_number().over(byDoc))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (count(lit(1)) + lit(windowWords - 1)).cast("long").as("span_words"))
+      .select(col("id"), col("span_start"), col("span_words"))
+  }
+}
