@@ -834,22 +834,22 @@ object Queries {
       .orderBy(col("id"), col("span_start"))
 
   private val q39Sql =
-    """WITH shl AS (SELECT doc_id,
+    """WITH shl AS (SELECT doc_id, len(w) AS n_words,
       |    CASE WHEN len(w) < 8 THEN [text]
       |         ELSE [array_to_string(w[i:i+7], ' ')
       |               for i in range(1, len(w) - 6)] END AS sh
       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
       |        FROM documents)),
-      |win AS (SELECT doc_id,
+      |win AS (SELECT doc_id, n_words,
       |    generate_subscripts(sh, 1) - 1 AS pos, unnest(sh) AS h
       |  FROM shl),
       |dup AS (SELECT h FROM win GROUP BY h HAVING count(*) > 1),
-      |flagged AS (SELECT doc_id, pos FROM win JOIN dup USING (h)),
-      |isl AS (SELECT doc_id, pos,
+      |flagged AS (SELECT doc_id, n_words, pos FROM win JOIN dup USING (h)),
+      |isl AS (SELECT doc_id, n_words, pos,
       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
       |  FROM flagged)
       |SELECT doc_id AS id, CAST(min(pos) AS BIGINT) AS span_start,
-      |  CAST(count(*) + 7 AS BIGINT) AS span_words
+      |  CAST(least(count(*) + 7, max(n_words)) AS BIGINT) AS span_words
       |FROM isl GROUP BY doc_id, island
       |ORDER BY id, span_start""".stripMargin
 

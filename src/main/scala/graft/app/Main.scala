@@ -157,19 +157,32 @@ object Main {
         res.unpersist()
 
       case "dedup-stream" =>
-        // continuous near-dup mining over a growing documents directory
+        // near-dup mining over a growing documents directory
         // (graft.streaming.StreamingDedup): probe the signature index,
-        // write per-batch candidate pairs, append the batch's signatures
+        // write per-batch candidate pairs, append the batch's signatures.
+        // AvailableNow by default (the scheduled rerun deployment);
+        // --follow <interval> runs the always-on daemon, like `stream`
         val input = opts("input")
         val statePath = opts.getOrElse("state", s"$input-dedup-state")
-        val q = graft.streaming.StreamingDedup.start(spark, input, statePath,
-          graft.streaming.StreamingDedup.Params(
-            minJaccard = opts.getOrElse("jaccard", "0.5").toDouble))
-        q.awaitTermination()
-        val cands = spark.read.parquet(
-          graft.streaming.StreamingDedup.candidatesPath(statePath))
-        println(s"Candidate near-dup pairs so far: ${cands.count()} " +
-          s"(state at $statePath)")
+        val schema = scala.util.Try(spark.read.parquet(input).schema).toOption
+        if (schema.isEmpty)
+          println(s"No parquet files under $input yet; nothing to mine.")
+        else {
+          val trigger =
+            if (opts.contains("follow"))
+              org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+                opts.getOrElse("follow", "30 seconds"))
+            else org.apache.spark.sql.streaming.Trigger.AvailableNow()
+          val q = graft.streaming.StreamingDedup.start(spark, input, statePath,
+            graft.streaming.StreamingDedup.Params(
+              minJaccard = opts.getOrElse("jaccard", "0.5").toDouble),
+            trigger, schema)
+          q.awaitTermination()
+          val n = scala.util.Try(spark.read.parquet(
+              graft.streaming.StreamingDedup.candidatesPath(statePath)).count())
+            .getOrElse(0L)
+          println(s"Candidate near-dup pairs so far: $n (state at $statePath)")
+        }
 
       case other => sys.error(s"unknown command '$other' (want synth|validate|throughput|infer|stream|pipeline|dedup-stream)")
     } finally spark.stop()

@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   *
   * Execution shape: one pass derives every document's rolling L-window
   * hashes WITH positions (posexplode over the single-walk ShingleHashes);
-  * the only wide exchange groups 8-byte window hashes to find those with
-  * more than one occurrence; flagged windows come back as (id, pos) rows
-  * and consecutive positions merge into maximal spans with the classic
+  * the only wide exchange repartitions the 16-byte (hash, id, pos) rows by
+  * hash for the occurrence count — a window count, not a groupBy+self-join,
+  * so the shingle derivation runs ONCE (CLAUDE.md round-1 lesson).
+  * Consecutive flagged positions merge into maximal spans with the classic
   * gaps-and-islands trick (pos - row_number() is constant within a run) —
   * a per-document window, never a global sort. Text itself never crosses
   * the wire. 64-bit window-hash collisions can in principle glue two
@@ -27,22 +28,29 @@ object DupSpans {
   /** (id, span_start, span_words) — maximal duplicated spans, where
     * span_start is the 0-based word offset and span_words the span length
     * in words (a run of k consecutive duplicated L-windows covers
-    * k + L - 1 words). Windows shorter than L words hash the whole text
-    * (ShingleHashes fallback), so exact whole-doc duplicates shorter than
-    * L still surface as spans.
+    * k + L - 1 words, clamped to the document's word count). Windows
+    * shorter than L words hash the whole text (ShingleHashes fallback), so
+    * exact whole-doc duplicates shorter than L still surface — as spans of
+    * the DOCUMENT's length, not the window's. `idCol` must be unique per
+    * row: duplicate ids would interleave two texts' positions in one
+    * islands partition and glue bogus spans.
     */
   def dupSpans(df: DataFrame, textCol: String, idCol: String,
                windowWords: Int = 8): DataFrame = {
     val windows = df.select(col(idCol).as("id"),
+        size(split(col(textCol), " ")).as("n_words"),
         posexplode(TextOps.shingles(col(textCol), windowWords))
           .as(Seq("pos", "h")))
 
     // windows occurring 2+ times anywhere (cross- OR within-doc repeats,
-    // matching the substring-dedup definition)
-    val dupHashes = windows.groupBy(col("h"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).select("h")
-
-    val flagged = windows.join(dupHashes, "h").select(col("id"), col("pos"))
+    // matching the substring-dedup definition): one pass, counted over a
+    // by-hash window instead of a groupBy + join back (which would run
+    // the shingle derivation once per side)
+    val byHash = Window.partitionBy(col("h"))
+    val flagged = windows
+      .withColumn("n", count(lit(1)).over(byHash))
+      .filter(col("n") > 1)
+      .select(col("id"), col("n_words"), col("pos"))
 
     // gaps and islands: consecutive positions share (pos - row_number)
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
@@ -50,7 +58,10 @@ object DupSpans {
       .withColumn("island", col("pos") - row_number().over(byDoc))
       .groupBy(col("id"), col("island"))
       .agg(min(col("pos")).cast("long").as("span_start"),
-        (count(lit(1)) + lit(windowWords - 1)).cast("long").as("span_words"))
+        // clamp: the short-text fallback's single window stands for the
+        // whole (shorter-than-L) document, not L words
+        least(count(lit(1)) + lit(windowWords - 1),
+          max(col("n_words"))).cast("long").as("span_words"))
       .select(col("id"), col("span_start"), col("span_words"))
   }
 }

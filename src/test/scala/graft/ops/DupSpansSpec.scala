@@ -31,6 +31,13 @@ class DupSpansSpec extends AnyFunSuite {
     assert(s.map(t => (t._2, t._3)) == Set((0L, 6L), (9L, 6L)))
   }
 
+  test("duplicated docs shorter than the window span the DOC's length, not the window's") {
+    // ShingleHashes fallback: < 4 words -> one whole-text hash at pos 0;
+    // the span must report the 2-word doc, not a phantom 4-word region
+    val s = spans(1L -> "hello world", 2L -> "hello world")
+    assert(s == Set((1L, 0L, 2L), (2L, 0L, 2L)))
+  }
+
   test("adjacent duplicated runs merge into one maximal island") {
     // two docs sharing a 10-word block -> one span of 10, not several
     val block = "p q r s t u v w x y"
