@@ -38,6 +38,43 @@ class DupSpansSpec extends AnyFunSuite {
     assert(s == Set((1L, 0L, 2L), (2L, 0L, 2L)))
   }
 
+  test("fuzz: matches driver-side brute force on seeded small-vocab corpora") {
+    for (seed <- Seq(5L, 23L)) {
+      val rng = new graft.SeededRng(seed)
+      val vocab = Vector("a", "b", "c", "d") // tiny vocab forces real repeats
+      val docs = (0L until 25L).map { i =>
+        i -> Seq.fill(2 + rng.nextInt(14))(vocab(rng.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+
+      def windowsOf(t: String): Seq[(Int, String)] = {
+        val w = t.split(" ")
+        if (w.length < 4) Seq(0 -> t)
+        else w.sliding(4).zipWithIndex.map { case (s, i) => i -> s.mkString(" ") }.toSeq
+      }
+      val counts = docs.flatMap(d => windowsOf(d._2).map(_._2))
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val brute = docs.flatMap { case (id, t) =>
+        val flagged = windowsOf(t).collect {
+          case (pos, s) if counts(s) > 1 => pos
+        }.sorted
+        // islands of consecutive positions -> (start, clamped length)
+        val nWords = t.split(" ").length
+        flagged.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }.map { case (s, e) =>
+          (id, s.toLong, math.min(e - s + 1 + 3, nWords).toLong)
+        }
+      }.toSet
+
+      val got = DupSpans.dupSpans(docs.toDF("doc_id", "text"),
+          "text", "doc_id", windowWords = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == brute, s"seed $seed")
+    }
+  }
+
   test("adjacent duplicated runs merge into one maximal island") {
     // two docs sharing a 10-word block -> one span of 10, not several
     val block = "p q r s t u v w x y"
