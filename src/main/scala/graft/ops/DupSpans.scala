@@ -64,4 +64,55 @@ object DupSpans {
           max(col("n_words"))).cast("long").as("span_words"))
       .select(col("id"), col("span_start"), col("span_words"))
   }
+
+  /** Spans to CUT under keep-first semantics: like [[dupSpans]], but each
+    * duplicated window's globally-first occurrence (minimum (id, pos)) is
+    * exempt — cutting the returned spans removes repeated content while
+    * one copy survives somewhere in the corpus, the Lee et al.
+    * transformation. Overlap caveat inherent to window granularity: a
+    * kept-first window may share words with a cut span of a DIFFERENT
+    * duplicated window; spans are maximal over cut-flagged window starts.
+    */
+  def dupSpansKeepFirst(df: DataFrame, textCol: String, idCol: String,
+                        windowWords: Int = 8): DataFrame = {
+    val windows = df.select(col(idCol).as("id"),
+        size(split(col(textCol), " ")).as("n_words"),
+        posexplode(TextOps.shingles(col(textCol), windowWords))
+          .as(Seq("pos", "h")))
+    val byHash = Window.partitionBy(col("h"))
+    val byHashOrdered = byHash.orderBy(col("id"), col("pos"))
+    val flagged = windows
+      .withColumn("n", count(lit(1)).over(byHash))
+      .withColumn("rank", row_number().over(byHashOrdered))
+      .filter(col("n") > 1 && col("rank") > 1) // every copy but the first
+      .select(col("id"), col("n_words"), col("pos"))
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    flagged
+      .withColumn("island", col("pos") - row_number().over(byDoc))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        least(count(lit(1)) + lit(windowWords - 1),
+          max(col("n_words"))).cast("long").as("span_words"))
+      .select(col("id"), col("span_start"), col("span_words"))
+  }
+
+  /** Rewrite texts with the given spans removed: every word whose 0-based
+    * position falls inside any of the document's (span_start, span_words)
+    * ranges is dropped; documents without spans pass through untouched.
+    * Composable with [[dupSpansKeepFirst]] for keep-first substring dedup.
+    */
+  def cutSpans(df: DataFrame, textCol: String, idCol: String,
+               spans: DataFrame): DataFrame = {
+    val byDoc = spans.groupBy(col("id"))
+      .agg(collect_list(struct(col("span_start"), col("span_words")))
+        .as("__spans"))
+    df.join(byDoc, col(idCol) === byDoc("id"), "left").drop("id")
+      .withColumn(s"${textCol}_cut",
+        when(col("__spans").isNull, col(textCol)).otherwise(
+          concat_ws(" ", filter(split(col(textCol), " "), (w, i) =>
+            !exists(col("__spans"), s =>
+              i.cast("long") >= s.getField("span_start") &&
+                i.cast("long") < s.getField("span_start") + s.getField("span_words"))))))
+      .drop("__spans")
+  }
 }

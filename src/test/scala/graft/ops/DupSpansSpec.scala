@@ -38,6 +38,23 @@ class DupSpansSpec extends AnyFunSuite {
     assert(s == Set((1L, 0L, 2L), (2L, 0L, 2L)))
   }
 
+  test("keep-first: the globally-first occurrence survives, later copies are cut") {
+    val docs = Seq(
+      1L -> s"one two three $phrase four five six",   // first occurrence (min id)
+      2L -> s"$phrase seven eight nine ten eleven twelve"
+    ).toDF("doc_id", "text")
+    val toCut = DupSpans.dupSpansKeepFirst(docs, "text", "doc_id", windowWords = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(toCut == Set((2L, 0L, 6L))) // only doc 2's copy is flagged
+
+    val cut = DupSpans.cutSpans(docs, "text", "doc_id",
+        DupSpans.dupSpansKeepFirst(docs, "text", "doc_id", windowWords = 4))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_cut"))
+      .toMap
+    assert(cut(1L) == s"one two three $phrase four five six") // untouched
+    assert(cut(2L) == "seven eight nine ten eleven twelve")   // phrase removed
+  }
+
   test("fuzz: matches driver-side brute force on seeded small-vocab corpora") {
     for (seed <- Seq(5L, 23L)) {
       val rng = new graft.SeededRng(seed)
