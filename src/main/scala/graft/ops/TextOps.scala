@@ -21,15 +21,39 @@ object TextOps {
   def tokenCountBpeIsh(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Ratio helpers (all characters counted after removing a class). */
-  private def classRatio(text: Column, keepRe: String): Column =
+  /** One-walk character-class census (native [[CharClassCounts]]). */
+  def charClassCounts(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      CharClassCounts(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
+  /** Ratio over the native census: one byte walk instead of a
+    * regexp_replace string copy per class ([[alphaRatioComposed]] twins
+    * are the semantic oracle, pinned by CharClassSpec).
+    */
+  private def classRatio(text: Column, field: String): Column = {
+    val c = charClassCounts(text)
+    when(c.getField("n_chars") === 0, 0.0)
+      .otherwise(c.getField(field) / c.getField("n_chars").cast("double"))
+  }
+
+  def alphaRatio(text: Column): Column = classRatio(text, "n_alpha")
+  def digitRatio(text: Column): Column = classRatio(text, "n_digit")
+  def whitespaceRatio(text: Column): Column = classRatio(text, "n_ws")
+
+  /** Regex twins — the semantic definition (one regexp_replace copy per
+    * class; what the DuckDB oracles also compute).
+    */
+  private def classRatioComposed(text: Column, keepRe: String): Column =
     when(length(text) === 0, 0.0)
       .otherwise(length(regexp_replace(text, s"[^$keepRe]", "")) /
         length(text).cast("double"))
-
-  def alphaRatio(text: Column): Column = classRatio(text, "A-Za-z")
-  def digitRatio(text: Column): Column = classRatio(text, "0-9")
-  def whitespaceRatio(text: Column): Column = classRatio(text, "\\s")
+  private[graft] def alphaRatioComposed(text: Column): Column =
+    classRatioComposed(text, "A-Za-z")
+  private[graft] def digitRatioComposed(text: Column): Column =
+    classRatioComposed(text, "0-9")
+  private[graft] def whitespaceRatioComposed(text: Column): Column =
+    classRatioComposed(text, "\\s")
 
   /** Tiny per-language stopword inventories for the heuristic language ID.
     * Word-boundary counts over the lowercased text.
