@@ -78,7 +78,10 @@ object GraftFunctions {
     ("token_hist_agg",
       "token_hist_agg(tokens, bins, vocab) - token-id histogram (aggregate)",
       (args: Seq[Expression]) =>
-        TokenHistAgg(args(0), litInt(args(1), "bins"), litInt(args(2), "vocab")))
+        TokenHistAgg(args(0), litInt(args(1), "bins"), litInt(args(2), "vocab"))),
+    ("char_class_counts",
+      "char_class_counts(text) - struct(n_chars, n_alpha, n_digit, n_ws) in one walk",
+      (args: Seq[Expression]) => graft.ops.CharClassCounts(args.head))
   )
 
   private def info(name: String, usage: String): ExpressionInfo =
