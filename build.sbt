@@ -27,8 +27,27 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// SPARK_DRIVER_MEM is honored up to 16g. Heaps far beyond the working
+// set measured STRICTLY slower on this suite — BENCH_r02's warm>cold
+// inversion: at -Xmx89g (the driver-conditions heap) warm suite runs
+// degraded 5-10x (46s vs 4.8s at 16g, identical workload) because G1
+// sizes eden/old toward the big ceiling, so every run commits tens of GB
+// of fresh zeroed pages and takes multi-second evacuation pauses
+// (GC(56) 6.4s; experiments + gc logs in BENCH/BASELINE.md round 3).
+// 16g is ~4x the suite's live set; raise the clamp if a workload truly
+// needs more.
+val forkHeap: String = {
+  val requested = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+  val gm = "(?i)^(\\d+)([gm])$".r
+  requested match {
+    case gm(n, u) =>
+      val mb = if (u.equalsIgnoreCase("g")) n.toLong * 1024 else n.toLong
+      if (mb > 16384) "16g" else requested
+    case _ => requested
+  }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$forkHeap",
 )

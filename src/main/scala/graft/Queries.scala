@@ -87,15 +87,19 @@ object Queries {
     """SELECT o_custkey AS key_val, CAST(count(*) AS BIGINT) AS n
       |FROM orders GROUP BY 1 HAVING count(*) > 1 ORDER BY key_val""".stripMargin
 
-  /** Referential integrity via anti-join (broadcast: orders keys fit) —
-    * SURVEY §2.4.
+  /** Referential integrity — SURVEY §2.4. ONE scan of the child table: a
+    * broadcast left-outer join against the deduplicated parent keys feeds
+    * both the orphan count (null parent key) and the child total in a
+    * single aggregate (the round-2 shape anti-joined + crossJoined a
+    * second lineitem scan just for n_child).
     */
   private def q04(spark: SparkSession, dir: String): DataFrame = {
     val li = tbl(spark, dir, "lineitem")
-    val o = tbl(spark, dir, "orders")
-    val orphans = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
-    orphans.agg(count(lit(1)).cast("long").as("n_orphans"))
-      .crossJoin(li.agg(count(lit(1)).cast("long").as("n_child")))
+    val keys = tbl(spark, dir, "orders")
+      .select(col("o_orderkey")).dropDuplicates("o_orderkey")
+    li.join(broadcast(keys), li("l_orderkey") === keys("o_orderkey"), "left")
+      .agg(count_if(keys("o_orderkey").isNull).cast("long").as("n_orphans"),
+        count(lit(1)).cast("long").as("n_child"))
   }
 
   private val q04Sql =
@@ -305,7 +309,13 @@ object Queries {
       .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
   }
 
-  private val q15Sql =
+  /** The brute-force top-10-cosine truth — the SHARED oracle of q15
+    * (brute), q23 (LSH multi-probe), and q30 (IVF): the ANN paths are
+    * graded as "must reproduce the exact top-k". Any change to the k /
+    * exclusion / rounding here re-grades all three entries together —
+    * that coupling is the point (they answer the same question).
+    */
+  private val bruteTopKSql =
     """SELECT vec_id, round(sim, 6) AS cosine FROM (
       |  SELECT e.vec_id,
       |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS sim
@@ -508,7 +518,8 @@ object Queries {
     * fallback (< k words -> the whole text as the single shingle), so
     * sub-3-word documents compare identically in both engines.
     */
-  private def shingleJaccardPairsSql(threshold: Double): String = {
+  private def shingleJaccardPairsSql(threshold: Double,
+                                     extraWhere: String = ""): String = {
     val j = """round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
               |        len(list_distinct(list_concat(a.sh, b.sh))), 6)""".stripMargin
     s"""WITH s AS (SELECT doc_id,
@@ -518,7 +529,7 @@ object Queries {
        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $j AS jaccard
        |FROM s a JOIN s b ON a.doc_id < b.doc_id
-       |WHERE $j >= $threshold
+       |WHERE $j >= $threshold$extraWhere
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -648,39 +659,49 @@ object Queries {
   }
 
   /** Greedy sequence packing ([[graft.ops.Packing]]) of the documents
-    * table into a 1024-char budget per source, summarized per pack. The
-    * oracle replays the same first-fit-in-order recurrence as a DuckDB
-    * recursive CTE (one level per row within a source — fine at graded
-    * scale; the Spark side streams each group in one pass).
+    * table into a 1024-char budget per (source, 100-id-range bucket) —
+    * the corpus-scale key ([[graft.ops.Packing.bucketKey]]): parallelism
+    * is #sources x #buckets instead of #sources (keying by source alone
+    * streams an entire source through one task at 100 TB). The oracle
+    * replays the same first-fit-in-order recurrence as a DuckDB recursive
+    * CTE partitioned by the same key (one level per row within a bucket —
+    * fine at graded scale; the Spark side streams each group in one
+    * pass).
     */
   private def q35(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Packing.packGreedy(tbl(spark, dir, "documents"),
-        "source", "doc_id", "n_chars", budget = 1024)
-      .select(col("group").as("source"), col("pack_id"), col("n_seqs"),
+    graft.ops.Packing.packGreedy(
+        tbl(spark, dir, "documents").withColumn("grp",
+          graft.ops.Packing.bucketKey(col("source"), col("doc_id"), 100L)),
+        "grp", "doc_id", "n_chars", budget = 1024)
+      .select(split(col("group"), "#").getItem(0).as("source"),
+        split(col("group"), "#").getItem(1).cast("long").as("bucket"),
+        col("pack_id"), col("n_seqs"),
         col("total_len"), array_min(col("seq_ids")).as("min_id"),
         array_max(col("seq_ids")).as("max_id"))
-      .orderBy(col("source"), col("pack_id"))
+      .orderBy(col("source"), col("bucket"), col("pack_id"))
 
   private val q35Sql =
     """WITH RECURSIVE d AS (
-      |  SELECT source, doc_id, n_chars,
-      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  SELECT source, CAST(doc_id // 100 AS BIGINT) AS bucket, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source, doc_id // 100
+      |                       ORDER BY doc_id) AS rn
       |  FROM documents),
       |g AS (
-      |  SELECT source, rn, doc_id, CAST(n_chars AS BIGINT) AS len,
+      |  SELECT source, bucket, rn, doc_id, CAST(n_chars AS BIGINT) AS len,
       |         CAST(0 AS BIGINT) AS pack_id, CAST(n_chars AS BIGINT) AS acc
       |  FROM d WHERE rn = 1
       |  UNION ALL
-      |  SELECT d.source, d.rn, d.doc_id, CAST(d.n_chars AS BIGINT),
+      |  SELECT d.source, d.bucket, d.rn, d.doc_id, CAST(d.n_chars AS BIGINT),
       |    CASE WHEN g.acc >= 1024 OR g.acc + d.n_chars > 1024
       |         THEN g.pack_id + 1 ELSE g.pack_id END,
       |    CASE WHEN g.acc >= 1024 OR g.acc + d.n_chars > 1024
       |         THEN CAST(d.n_chars AS BIGINT) ELSE g.acc + d.n_chars END
-      |  FROM g JOIN d ON d.source = g.source AND d.rn = g.rn + 1)
-      |SELECT source, pack_id, CAST(count(*) AS BIGINT) AS n_seqs,
+      |  FROM g JOIN d ON d.source = g.source AND d.bucket = g.bucket
+      |              AND d.rn = g.rn + 1)
+      |SELECT source, bucket, pack_id, CAST(count(*) AS BIGINT) AS n_seqs,
       |  CAST(sum(len) AS BIGINT) AS total_len,
       |  min(doc_id) AS min_id, max(doc_id) AS max_id
-      |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      |FROM g GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   /** Quality-filter audit ([[graft.ops.QualityFilter]]): per-source keep
     * counts + per-rule violation counts from ONE annotated pass (default
@@ -1028,6 +1049,31 @@ object Queries {
       |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
       |ORDER BY cosine DESC, id_a LIMIT 20""".stripMargin
 
+  /** Incremental near-duplicate mining ([[graft.ops.IncrementalDedup]]):
+    * the corpus is split into a base (doc_id % 10 != 0) whose LSH
+    * signature index is built once, and a batch (doc_id % 10 == 0) that
+    * only PROBES it — (new x old) + (new x new) candidate pairs, never
+    * old x old. Survivors are exact-Jaccard reranked like q19, so the
+    * oracle is q19's brute-force all-pairs truth restricted to pairs
+    * touching the batch: incremental mining must equal full mining on
+    * exactly the pairs the batch could have introduced.
+    */
+  private def q40(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val base = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-q40-idx").toString
+    graft.ops.IncrementalDedup.writeIndex(base, "text", "doc_id", idxDir,
+      shingleK = 3, perms = 32, bands = 16)
+    val cands = graft.ops.IncrementalDedup.newDocCandidates(spark, batch,
+      "text", "doc_id", idxDir, shingleK = 3, perms = 32, bands = 16,
+      minJaccard = 0.2)
+    rerankedPairs(docs, cands, 0.5)
+  }
+
+  private val q40Sql = shingleJaccardPairsSql(0.5,
+    extraWhere = " AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)")
+
   // ----------------------------------------------------------------- table
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -1045,7 +1091,7 @@ object Queries {
     "q12_quality_ratios"  -> QueryDef(q12, Some(q12Sql)),
     "q13_stopword_profile"-> QueryDef(q13, Some(q13Sql)),
     "q14_fingerprint"     -> QueryDef(q14, Some(q14Sql)),
-    "q15_knn_brute"       -> QueryDef(q15, Some(q15Sql)),
+    "q15_knn_brute"       -> QueryDef(q15, Some(bruteTopKSql)),
     "q16_events_daily"    -> QueryDef(q16, Some(q16Sql)),
     "q17_join_revenue"    -> QueryDef(q17, Some(q17Sql)),
     "q18_region_rollup"   -> QueryDef(q18, Some(q18Sql)),
@@ -1058,9 +1104,9 @@ object Queries {
     "q20_simhash"         -> QueryDef(q20, Some(q20Sql)),
     "q21_embed_neardup"   -> QueryDef(q21, Some(q21Sql)),
     "q22_schema_infer"    -> QueryDef(q22, Some(q22Sql)),
-    "q23_ann_lsh"         -> QueryDef(q23, Some(q15Sql)),
+    "q23_ann_lsh"         -> QueryDef(q23, Some(bruteTopKSql)),
     "q24_media_features"  -> QueryDef(q24, Some(q24Sql)),
-    "q30_ann_ivf"         -> QueryDef(q30, Some(q15Sql)),
+    "q30_ann_ivf"         -> QueryDef(q30, Some(bruteTopKSql)),
     "q31_word_jaccard"    -> QueryDef(q31, Some(q31Sql)),
     "q32_embed_cosine"    -> QueryDef(q32, Some(q32Sql)),
     "q33_dedup_clusters"  -> QueryDef(q33, Some(q33Sql)),
@@ -1069,6 +1115,7 @@ object Queries {
     "q36_quality_filter"  -> QueryDef(q36, Some(q36Sql)),
     "q37_pii_redaction"   -> QueryDef(q37, Some(q37Sql)),
     "q38_top_words"       -> QueryDef(q38, Some(q38Sql)),
-    "q39_dup_spans"       -> QueryDef(q39, Some(q39Sql))
+    "q39_dup_spans"       -> QueryDef(q39, Some(q39Sql)),
+    "q40_incremental_dedup" -> QueryDef(q40, Some(q40Sql))
   )
 }

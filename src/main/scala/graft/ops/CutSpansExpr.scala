@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Remove every word whose 0-based position falls inside any
+  * (span_start, span_words) range — ONE byte walk per row.
+  *
+  * Semantics pinned bit-identical (CutSpansSpec) to the composed HOF twin
+  *   concat_ws(" ", filter(split(text, " "), (w, i) =>
+  *     !exists(spans, s => i >= start && i < start + words)))
+  * which evaluates an interpreted lambda per word x span (the round-1
+  * measured 2.6-9x HOF tax). Here the spans are merged into disjoint
+  * intervals once per row and the text is walked once: words are the
+  * byte runs between single ' ' separators (split keeps empty words for
+  * consecutive spaces; concat_ws re-joins with single spaces — both
+  * reproduced exactly), kept words are copied out verbatim.
+  *
+  * Null contract matches the twin under the caller's
+  * `when(spans.isNull, text)` guard: evaluated only with non-null spans;
+  * a null text yields "" (split(null) -> null, concat_ws skips null).
+  */
+case class CutSpans(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val spansV = right.eval(input)
+    val textV = left.eval(input)
+    if (spansV == null) {
+      // guarded by when(spans.isNull, ...) in the API; mirror passthrough
+      return textV
+    }
+    if (textV == null) return UTF8String.EMPTY_UTF8
+
+    val s = textV.asInstanceOf[UTF8String]
+    val spans = spansV.asInstanceOf[ArrayData]
+    val nSpans = spans.numElements()
+
+    // merge spans into disjoint sorted [start, end) intervals over word idx
+    var merged: Array[Long] = null // packed pairs: start0,end0,start1,end1...
+    var nMerged = 0
+    if (nSpans > 0) {
+      val iv = new Array[Long](nSpans * 2)
+      var i = 0
+      while (i < nSpans) {
+        val row = spans.getStruct(i, 2)
+        val st = row.getLong(0)
+        iv(2 * i) = st
+        iv(2 * i + 1) = st + row.getLong(1)
+        i += 1
+      }
+      // insertion sort of pairs by start (span counts are small)
+      i = 1
+      while (i < nSpans) {
+        val st = iv(2 * i); val en = iv(2 * i + 1)
+        var j = i - 1
+        while (j >= 0 && iv(2 * j) > st) {
+          iv(2 * (j + 1)) = iv(2 * j); iv(2 * (j + 1) + 1) = iv(2 * j + 1)
+          j -= 1
+        }
+        iv(2 * (j + 1)) = st; iv(2 * (j + 1) + 1) = en
+        i += 1
+      }
+      merged = new Array[Long](nSpans * 2)
+      i = 0
+      while (i < nSpans) {
+        val st = iv(2 * i); val en = iv(2 * i + 1)
+        if (nMerged > 0 && st <= merged(2 * (nMerged - 1) + 1)) {
+          if (en > merged(2 * (nMerged - 1) + 1)) merged(2 * (nMerged - 1) + 1) = en
+        } else {
+          merged(2 * nMerged) = st; merged(2 * nMerged + 1) = en
+          nMerged += 1
+        }
+        i += 1
+      }
+    }
+
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    val out = new Array[Byte](len)
+    var outLen = 0
+    var keptAny = false
+    var wordIdx = 0L
+    var wordStart = 0
+    var p = 0 // pointer into merged intervals
+    var i = 0
+    while (i <= len) {
+      if (i == len || Platform.getByte(base, off + i) == ' ') {
+        // word [wordStart, i)
+        while (p < nMerged && merged(2 * p + 1) <= wordIdx) p += 1
+        val covered = p < nMerged && merged(2 * p) <= wordIdx
+        if (!covered) {
+          if (keptAny) { out(outLen) = ' '; outLen += 1 }
+          Platform.copyMemory(base, off + wordStart,
+            out, Platform.BYTE_ARRAY_OFFSET + outLen, i - wordStart)
+          outLen += i - wordStart
+          keptAny = true
+        }
+        wordIdx += 1
+        wordStart = i + 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, outLen)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CutSpans =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cut_spans"
+}

@@ -13,11 +13,11 @@ import org.apache.spark.storage.StorageLevel
   * Caching note: the candidate-mining functions persist their narrow
   * signature tables (id + a few longs per doc) when `materialize = true`
   * so the corpus is shingled/hashed ONCE instead of once per join side.
-  * The cached table lives until the session drops it — callers running
-  * many mining passes in one long-lived session should
-  * `spark.catalog.clearCache()` after consuming the candidates (or pass
-  * `materialize = false` to trade the second scan for zero cache
-  * footprint).
+  * The `...H` variants return a [[Cached]] handle — consume the pairs,
+  * then `close()` to unpersist deterministically (what Pipeline does).
+  * The plain variants leave the table cached for the session (callers
+  * may `spark.catalog.clearCache()`), or pass `materialize = false` to
+  * trade the second scan for zero cache footprint.
   */
 object Dedup {
 
@@ -74,10 +74,10 @@ object Dedup {
     * exact-Jaccard rerank on the signatures. The band groupBy is the only
     * shuffle of full signatures; the pair join is bucket-local.
     */
-  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        shingleK: Int = 3, perms: Int = 32, bands: Int = 8,
-                        minJaccard: Double = 0.5, maxBucket: Int = 64,
-                        materialize: Boolean = true): DataFrame = {
+  def minhashCandidatesH(df: DataFrame, textCol: String, idCol: String,
+                         shingleK: Int = 3, perms: Int = 32, bands: Int = 8,
+                         minJaccard: Double = 0.5, maxBucket: Int = 64,
+                         materialize: Boolean = true): Cached[DataFrame] = {
     val sigs = df.select(col(idCol).as("id"),
         minhashSignature(TextOps.shingles(col(textCol), shingleK), perms).as("sig"))
       .withColumn("bandinfo", explode(lshBands(col("sig"), bands, perms)))
@@ -95,19 +95,27 @@ object Dedup {
     // bucket-local pair generation: same (band, band_hash), id < id2;
     // est_jaccard is computed INSIDE the join and only narrow columns
     // survive into the pair-dedup shuffle
-    val l = pruned.alias("l")
-    val r = pruned.alias("r")
+    val l = pruned.value.alias("l")
+    val r = pruned.value.alias("r")
     val agree = size(filter(zip_with(col("l.sig"), col("r.sig"),
       (a, b) => a === b), x => x))
-    l.join(r,
+    pruned.copy(value = l.join(r,
         col("l.band") === col("r.band") &&
           col("l.band_hash") === col("r.band_hash") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         (agree / lit(perms.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= minJaccard)
-      .dropDuplicates("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b"))
   }
+
+  /** Session-cache variant of [[minhashCandidatesH]]. */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        shingleK: Int = 3, perms: Int = 32, bands: Int = 8,
+                        minJaccard: Double = 0.5, maxBucket: Int = 64,
+                        materialize: Boolean = true): DataFrame =
+    minhashCandidatesH(df, textCol, idCol, shingleK, perms, bands,
+      minJaccard, maxBucket, materialize).value
 
   /** Deterministic bit-partition masks for multi-table SimHash blocking:
     * `tables` independent partitions of the 64 signature bits into
@@ -149,11 +157,11 @@ object Dedup {
     * the B^2/2 pair blowup of degenerate blocks, mirroring
     * [[minhashCandidates]].
     */
-  def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        maxHamming: Int = 6, blocks: Int = 4,
-                        tables: Int = 1, seed: Long = 7L,
-                        maxBucket: Int = 256,
-                        materialize: Boolean = true): DataFrame = {
+  def simhashCandidatesH(df: DataFrame, textCol: String, idCol: String,
+                         maxHamming: Int = 6, blocks: Int = 4,
+                         tables: Int = 1, seed: Long = 7L,
+                         maxBucket: Int = 256,
+                         materialize: Boolean = true): Cached[DataFrame] = {
     require(blocks >= 1 && blocks <= 16, "blocks must be in [1, 16]")
     require(tables >= 1, "need at least one table")
     val masks = blockMasks(blocks, tables, seed)
@@ -168,14 +176,24 @@ object Dedup {
         col("piece.blk").as("blk"), col("piece.key").as("key"))
     val pruned = capBuckets(sigs, Seq(col("blk"), col("key")), maxBucket,
       materialize)
-    val l = pruned.alias("l"); val r = pruned.alias("r")
-    l.join(r, col("l.blk") === col("r.blk") && col("l.key") === col("r.key") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        SimHash64.hamming(col("l.sig"), col("r.sig")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
+    val l = pruned.value.alias("l"); val r = pruned.value.alias("r")
+    pruned.copy(value =
+      l.join(r, col("l.blk") === col("r.blk") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+          SimHash64.hamming(col("l.sig"), col("r.sig")).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .dropDuplicates("id_a", "id_b"))
   }
+
+  /** Session-cache variant of [[simhashCandidatesH]]. */
+  def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        maxHamming: Int = 6, blocks: Int = 4,
+                        tables: Int = 1, seed: Long = 7L,
+                        maxBucket: Int = 256,
+                        materialize: Boolean = true): DataFrame =
+    simhashCandidatesH(df, textCol, idCol, maxHamming, blocks, tables, seed,
+      maxBucket, materialize).value
 
   /** Exact n-gram Jaccard similarity for given candidate id pairs
     * (rerank step after LSH blocking).
@@ -203,11 +221,43 @@ object Dedup {
     * trades recall against join size; scale corpora up by raising
     * `planes` and compensating with `tables`.
     */
+  def embeddingNearDupsH(df: DataFrame, vecCol: String, idCol: String,
+                         threshold: Double = 0.95, planes: Int = 8,
+                         tables: Int = 16, seed: Long = 7L,
+                         maxBucket: Int = 1 << 20,
+                         materialize: Boolean = true): Cached[DataFrame] = {
+    val pruned = rhpBuckets(df, vecCol, idCol, planes, tables, seed,
+      maxBucket, materialize)
+    val l = pruned.value.alias("l"); val r = pruned.value.alias("r")
+    // cosine is evaluated inside the bucket-local join (once per shared
+    // table); only (id_a, id_b, cosine) survives into the pair dedup
+    pruned.copy(value =
+      l.join(r, col("l.t") === col("r.t") && col("l.blk") === col("r.blk") &&
+          col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+          Similarity.cosine(col("l.v"), col("r.v")).as("cosine"))
+        .filter(col("cosine") >= threshold)
+        .dropDuplicates("id_a", "id_b"))
+  }
+
+  /** Session-cache variant of [[embeddingNearDupsH]]. */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
                         threshold: Double = 0.95, planes: Int = 8,
                         tables: Int = 16, seed: Long = 7L,
                         maxBucket: Int = 1 << 20,
-                        materialize: Boolean = true): DataFrame = {
+                        materialize: Boolean = true): DataFrame =
+    embeddingNearDupsH(df, vecCol, idCol, threshold, planes, tables, seed,
+      maxBucket, materialize).value
+
+  /** The shared multi-table RHP blocking stage of [[embeddingNearDups]]
+    * and [[Similarity.bucketedKnn]]: `tables` independent signature
+    * tables (seeds seed..seed+tables-1), exploded to (id, v, t, blk)
+    * rows, degenerate buckets capped.
+    */
+  private[ops] def rhpBuckets(df: DataFrame, vecCol: String, idCol: String,
+                              planes: Int, tables: Int, seed: Long,
+                              maxBucket: Int,
+                              materialize: Boolean): Cached[DataFrame] = {
     val sigStructs = (0 until tables).map { t =>
       struct(lit(t).as("t"),
         Similarity.rhpSignature(col("v"), planes, seed + t).as("blk"))
@@ -216,30 +266,27 @@ object Dedup {
       .withColumn("piece", explode(array(sigStructs: _*)))
       .select(col("id"), col("v"),
         col("piece.t").as("t"), col("piece.blk").as("blk"))
-    val pruned = capBuckets(sigs, Seq(col("t"), col("blk")), maxBucket,
-      materialize)
-    val l = pruned.alias("l"); val r = pruned.alias("r")
-    // cosine is evaluated inside the bucket-local join (once per shared
-    // table); only (id_a, id_b, cosine) survives into the pair dedup
-    l.join(r, col("l.t") === col("r.t") && col("l.blk") === col("r.blk") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        Similarity.cosine(col("l.v"), col("r.v")).as("cosine"))
-      .filter(col("cosine") >= threshold)
-      .dropDuplicates("id_a", "id_b")
+    capBuckets(sigs, Seq(col("t"), col("blk")), maxBucket, materialize)
   }
 
-  /** One window pass over the bucket-key shuffle drops buckets larger
-    * than `maxBucket`, then (optionally) persists the narrow signature
-    * table so the self-join's two sides share one derivation.
+  /** Drop buckets larger than `maxBucket` from the (optionally persisted)
+    * signature table. Bucket sizes come from a `groupBy` — map-side
+    * PARTIAL aggregation collapses a hot bucket's rows inside each input
+    * partition before anything crosses the wire (a `Window.partitionBy`
+    * count — the round-2 shape — pinned every occurrence of a boilerplate
+    * bucket key into ONE partition: the same straggler class as round-3's
+    * DupSpans fix). Over-cap keys are at most n/maxBucket rows and in
+    * practice a handful; the anti-join against them is AQE-broadcast.
     */
   private def capBuckets(sigs: DataFrame, keys: Seq[Column], maxBucket: Int,
-                         materialize: Boolean): DataFrame = {
-    val w = Window.partitionBy(keys: _*)
-    val capped = sigs
-      .withColumn("__bsz", count(lit(1)).over(w))
-      .filter(col("__bsz") <= maxBucket)
-      .drop("__bsz")
-    if (materialize) capped.persist(StorageLevel.MEMORY_AND_DISK) else capped
+                         materialize: Boolean): Cached[DataFrame] = {
+    val keyNames = keys.map(_.toString)
+    val s =
+      if (materialize) sigs.persist(StorageLevel.MEMORY_AND_DISK) else sigs
+    val hot = s.groupBy(keys: _*).agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucket)
+      .select(keyNames.map(col): _*)
+    Cached(s.join(hot, keyNames, "left_anti"),
+      if (materialize) Seq(s) else Nil)
   }
 }

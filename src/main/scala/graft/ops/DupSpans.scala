@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Duplicate-span detection — the exact-substring family of corpus dedup
   * (Lee et al., "Deduplicating Training Data Makes Language Models
@@ -13,45 +14,34 @@ import org.apache.spark.sql.functions._
   * documents.
   *
   * Execution shape: one pass derives every document's rolling L-window
-  * hashes WITH positions (posexplode over the single-walk ShingleHashes);
-  * the only wide exchange repartitions the 16-byte (hash, id, pos) rows by
-  * hash for the occurrence count — a window count, not a groupBy+self-join,
-  * so the shingle derivation runs ONCE (CLAUDE.md round-1 lesson).
-  * Consecutive flagged positions merge into maximal spans with the classic
-  * gaps-and-islands trick (pos - row_number() is constant within a run) —
-  * a per-document window, never a global sort. Text itself never crosses
-  * the wire. 64-bit window-hash collisions can in principle glue two
-  * different spans (~n²/2⁶⁴); exactness-critical uses re-verify span text.
+  * hashes WITH positions (posexplode over the single-walk ShingleHashes),
+  * persisted narrow (16-byte rows). Per-hash occurrence stats come from a
+  * `groupBy(h)` — map-side PARTIAL aggregation collapses each partition's
+  * copies of a hot hash to one row before the exchange, so a boilerplate
+  * window occurring 10^8 times ships per-partition counts, not 10^8 rows
+  * into one partition (a `Window.partitionBy(h)` count — the round-2
+  * shape — pinned exactly that straggler). The flagged positions come
+  * from joining the stats back (1 stats row x N occurrences; AQE
+  * skew-join splits the hot hash's partition — a window can never be
+  * split). Consecutive flagged positions merge into maximal spans with
+  * the classic gaps-and-islands trick (pos - row_number() is constant
+  * within a run) — a per-document window, never a global sort. Text
+  * itself never crosses the wire. 64-bit window-hash collisions can in
+  * principle glue two different spans (~n²/2⁶⁴); exactness-critical uses
+  * re-verify span text.
   */
 object DupSpans {
 
-  /** (id, span_start, span_words) — maximal duplicated spans, where
-    * span_start is the 0-based word offset and span_words the span length
-    * in words (a run of k consecutive duplicated L-windows covers
-    * k + L - 1 words, clamped to the document's word count). Windows
-    * shorter than L words hash the whole text (ShingleHashes fallback), so
-    * exact whole-doc duplicates shorter than L still surface — as spans of
-    * the DOCUMENT's length, not the window's. `idCol` must be unique per
-    * row: duplicate ids would interleave two texts' positions in one
-    * islands partition and glue bogus spans.
+  /** Per-hash stats over the persisted windows frame: occurrence count
+    * and globally-first occurrence, both map-side-partial-aggregable.
     */
-  def dupSpans(df: DataFrame, textCol: String, idCol: String,
-               windowWords: Int = 8): DataFrame = {
-    val windows = df.select(col(idCol).as("id"),
-        size(split(col(textCol), " ")).as("n_words"),
-        posexplode(TextOps.shingles(col(textCol), windowWords))
-          .as(Seq("pos", "h")))
+  private def hashStats(windows: DataFrame): DataFrame =
+    windows.groupBy(col("h"))
+      .agg(count(lit(1)).as("__df"),
+        min(struct(col("id"), col("pos"))).as("__first"))
+      .filter(col("__df") > 1)
 
-    // windows occurring 2+ times anywhere (cross- OR within-doc repeats,
-    // matching the substring-dedup definition): one pass, counted over a
-    // by-hash window instead of a groupBy + join back (which would run
-    // the shingle derivation once per side)
-    val byHash = Window.partitionBy(col("h"))
-    val flagged = windows
-      .withColumn("n", count(lit(1)).over(byHash))
-      .filter(col("n") > 1)
-      .select(col("id"), col("n_words"), col("pos"))
-
+  private def islands(flagged: DataFrame, windowWords: Int): DataFrame = {
     // gaps and islands: consecutive positions share (pos - row_number)
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
     flagged
@@ -65,6 +55,49 @@ object DupSpans {
       .select(col("id"), col("span_start"), col("span_words"))
   }
 
+  private def windowsOf(df: DataFrame, textCol: String, idCol: String,
+                        windowWords: Int, materialize: Boolean): Cached[DataFrame] = {
+    val w = df.select(col(idCol).as("id"),
+      size(split(col(textCol), " ")).as("n_words"),
+      posexplode(TextOps.shingles(col(textCol), windowWords))
+        .as(Seq("pos", "h")))
+    if (materialize) {
+      val p = w.persist(StorageLevel.MEMORY_AND_DISK)
+      Cached(p, Seq(p))
+    } else Cached(w)
+  }
+
+  /** (id, span_start, span_words) — maximal duplicated spans, where
+    * span_start is the 0-based word offset and span_words the span length
+    * in words (a run of k consecutive duplicated L-windows covers
+    * k + L - 1 words, clamped to the document's word count). Windows
+    * shorter than L words hash the whole text (ShingleHashes fallback), so
+    * exact whole-doc duplicates shorter than L still surface — as spans of
+    * the DOCUMENT's length, not the window's. `idCol` must be unique per
+    * row: duplicate ids would interleave two texts' positions in one
+    * islands partition and glue bogus spans.
+    *
+    * Returns a [[Cached]] handle: the windows frame is persisted so one
+    * shingle pass feeds both the stats aggregate and the join back —
+    * `close()` it after consuming the spans.
+    */
+  def dupSpansH(df: DataFrame, textCol: String, idCol: String,
+                windowWords: Int = 8,
+                materialize: Boolean = true): Cached[DataFrame] = {
+    val windows = windowsOf(df, textCol, idCol, windowWords, materialize)
+    val flagged = windows.value
+      .join(hashStats(windows.value), "h")
+      .select(col("id"), col("n_words"), col("pos"))
+    windows.copy(value = islands(flagged, windowWords))
+  }
+
+  /** Session-cache variant of [[dupSpansH]] (the persisted windows table
+    * stays cached until `spark.catalog.clearCache()`).
+    */
+  def dupSpans(df: DataFrame, textCol: String, idCol: String,
+               windowWords: Int = 8): DataFrame =
+    dupSpansH(df, textCol, idCol, windowWords).value
+
   /** Spans to CUT under keep-first semantics: like [[dupSpans]], but each
     * duplicated window's globally-first occurrence (minimum (id, pos)) is
     * exempt — cutting the returned spans removes repeated content while
@@ -72,47 +105,76 @@ object DupSpans {
     * transformation. Overlap caveat inherent to window granularity: a
     * kept-first window may share words with a cut span of a DIFFERENT
     * duplicated window; spans are maximal over cut-flagged window starts.
+    *
+    * `maxWindowDf`: windows occurring in more than this many positions
+    * corpus-wide are boilerplate (license headers, nav bars) — they are
+    * flagged at EVERY occurrence, first included (cap-and-flag-whole-
+    * island: a mega-hot window is exactly the content substring dedup
+    * exists to cut; exempting one "first" of 10^8 copies is noise). The
+    * default (unbounded) keeps strict keep-first semantics everywhere.
     */
-  def dupSpansKeepFirst(df: DataFrame, textCol: String, idCol: String,
-                        windowWords: Int = 8): DataFrame = {
-    val windows = df.select(col(idCol).as("id"),
-        size(split(col(textCol), " ")).as("n_words"),
-        posexplode(TextOps.shingles(col(textCol), windowWords))
-          .as(Seq("pos", "h")))
-    val byHash = Window.partitionBy(col("h"))
-    val byHashOrdered = byHash.orderBy(col("id"), col("pos"))
-    val flagged = windows
-      .withColumn("n", count(lit(1)).over(byHash))
-      .withColumn("rank", row_number().over(byHashOrdered))
-      .filter(col("n") > 1 && col("rank") > 1) // every copy but the first
+  def dupSpansKeepFirstH(df: DataFrame, textCol: String, idCol: String,
+                         windowWords: Int = 8,
+                         maxWindowDf: Long = Long.MaxValue,
+                         materialize: Boolean = true): Cached[DataFrame] = {
+    val windows = windowsOf(df, textCol, idCol, windowWords, materialize)
+    val flagged = windows.value
+      .join(hashStats(windows.value), "h")
+      .filter(col("__df") > lit(maxWindowDf) ||
+        !(col("__first.id") === col("id") && col("__first.pos") === col("pos")))
       .select(col("id"), col("n_words"), col("pos"))
-    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
-    flagged
-      .withColumn("island", col("pos") - row_number().over(byDoc))
-      .groupBy(col("id"), col("island"))
-      .agg(min(col("pos")).cast("long").as("span_start"),
-        least(count(lit(1)) + lit(windowWords - 1),
-          max(col("n_words"))).cast("long").as("span_words"))
-      .select(col("id"), col("span_start"), col("span_words"))
+    windows.copy(value = islands(flagged, windowWords))
   }
+
+  /** Session-cache variant of [[dupSpansKeepFirstH]]. */
+  def dupSpansKeepFirst(df: DataFrame, textCol: String, idCol: String,
+                        windowWords: Int = 8,
+                        maxWindowDf: Long = Long.MaxValue): DataFrame =
+    dupSpansKeepFirstH(df, textCol, idCol, windowWords, maxWindowDf).value
+
+  private def cutSpansNative(text: Column, spans: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      CutSpans(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(spans)))
 
   /** Rewrite texts with the given spans removed: every word whose 0-based
     * position falls inside any of the document's (span_start, span_words)
     * ranges is dropped; documents without spans pass through untouched.
     * Composable with [[dupSpansKeepFirst]] for keep-first substring dedup.
+    * The cut itself is the native one-walk [[CutSpans]] expression
+    * (bit-identical to [[cutSpansComposed]], pinned by CutSpansSpec).
     */
   def cutSpans(df: DataFrame, textCol: String, idCol: String,
-               spans: DataFrame): DataFrame = {
+               spans: DataFrame): DataFrame =
+    cutSpansWith(df, textCol, idCol, spans, cutSpansNative)
+
+  /** The composed-builtins twin of the native cut — the semantic
+    * definition (interpreted lambda per word x span); kept live as
+    * CutSpansSpec's oracle.
+    */
+  private[graft] def cutSpansComposed(df: DataFrame, textCol: String,
+                                      idCol: String, spans: DataFrame): DataFrame =
+    cutSpansWith(df, textCol, idCol, spans, (text, sp) =>
+      concat_ws(" ", filter(split(text, " "), (w, i) =>
+        !exists(sp, s =>
+          i.cast("long") >= s.getField("span_start") &&
+            i.cast("long") < s.getField("span_start") + s.getField("span_words")))))
+
+  private def cutSpansWith(df: DataFrame, textCol: String, idCol: String,
+                           spans: DataFrame,
+                           cut: (Column, Column) => Column): DataFrame = {
+    // reserved key name: a caller whose idCol is itself "id" (or whose df
+    // already has an "id" column) must not collide with the spans frame
     val byDoc = spans.groupBy(col("id"))
       .agg(collect_list(struct(col("span_start"), col("span_words")))
         .as("__spans"))
-    df.join(byDoc, col(idCol) === byDoc("id"), "left").drop("id")
+      .withColumnRenamed("id", "__span_doc_id")
+    df.join(byDoc, col(idCol) === col("__span_doc_id"), "left")
+      .drop("__span_doc_id")
       .withColumn(s"${textCol}_cut",
-        when(col("__spans").isNull, col(textCol)).otherwise(
-          concat_ws(" ", filter(split(col(textCol), " "), (w, i) =>
-            !exists(col("__spans"), s =>
-              i.cast("long") >= s.getField("span_start") &&
-                i.cast("long") < s.getField("span_start") + s.getField("span_words"))))))
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(cut(col(textCol), col("__spans"))))
       .drop("__spans")
   }
 }

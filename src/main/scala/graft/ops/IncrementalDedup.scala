@@ -110,20 +110,28 @@ object IncrementalDedup {
     * parameters (they define the banding).
     *
     * `materialize = true` persists the batch's narrow signature table so
-    * the count/new-new/new-old subplans share one shingle pass — the
-    * caller releases it (`spark.catalog.clearCache()`) after consuming the
-    * candidates, exactly like [[Dedup]]'s candidate miners; long-running
-    * loops should use the handle-returning variant in
-    * [[graft.streaming.StreamingDedup]]'s shape instead.
+    * the count/new-new/new-old subplans share one shingle pass — consume
+    * the candidates, then `close()` the handle (what long-running loops
+    * and [[graft.streaming.StreamingDedup]] do).
     */
+  def newDocCandidatesH(spark: SparkSession, newDocs: DataFrame,
+                        textCol: String, idCol: String, indexPath: String,
+                        shingleK: Int = 3, perms: Int = 32, bands: Int = 16,
+                        minJaccard: Double = 0.5, maxBucket: Int = 64,
+                        materialize: Boolean = true): Cached[DataFrame] = {
+    val rows = signatureRows(newDocs, textCol, idCol, shingleK, perms, bands)
+    val fresh = if (materialize) rows.persist() else rows
+    Cached(candidatePairs(fresh, Some(spark.read.parquet(indexPath)),
+        perms, minJaccard, maxBucket),
+      if (materialize) Seq(fresh) else Nil)
+  }
+
+  /** Session-cache variant of [[newDocCandidatesH]]. */
   def newDocCandidates(spark: SparkSession, newDocs: DataFrame,
                        textCol: String, idCol: String, indexPath: String,
                        shingleK: Int = 3, perms: Int = 32, bands: Int = 16,
                        minJaccard: Double = 0.5, maxBucket: Int = 64,
-                       materialize: Boolean = true): DataFrame = {
-    val rows = signatureRows(newDocs, textCol, idCol, shingleK, perms, bands)
-    val fresh = if (materialize) rows.persist() else rows
-    candidatePairs(fresh, Some(spark.read.parquet(indexPath)),
-      perms, minJaccard, maxBucket)
-  }
+                       materialize: Boolean = true): DataFrame =
+    newDocCandidatesH(spark, newDocs, textCol, idCol, indexPath, shingleK,
+      perms, bands, minJaccard, maxBucket, materialize).value
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, concat_ws, floor}
 
 /** Sequence packing: greedy first-fit-in-order packing of token sequences
   * into a fixed context budget — the step that turns a filtered corpus
@@ -23,6 +23,21 @@ import org.apache.spark.sql.functions.col
   * underfull pack per bucket.
   */
 object Packing {
+
+  /** The corpus-scale grouping key "(source)#(id-range bucket)": ids in
+    * [b*idsPerBucket, (b+1)*idsPerBucket) pack together, so parallelism is
+    * #sources x #occupied-buckets instead of #sources (keying by source
+    * alone streams an entire source through ONE task at 100 TB). Contiguous
+    * id ranges — not a hash — keep the in-order greedy semantics intact
+    * within each bucket; the boundary cost is at most one underfull pack
+    * per bucket, bounded and deterministic. Needs no data statistics:
+    * pick idsPerBucket so a bucket's sequences sum to a few hundred MB.
+    */
+  def bucketKey(byCol: Column, idCol: Column, idsPerBucket: Long): Column = {
+    require(idsPerBucket > 0, "idsPerBucket must be positive")
+    concat_ws("#", byCol.cast("string"),
+      floor(idCol.cast("long") / idsPerBucket).cast("long").cast("string"))
+  }
 
   /** One pack per output row: (group, pack_id, n_seqs, total_len, seq_ids).
     * `pack_id` is the 0-based pack index within the group.

@@ -28,7 +28,12 @@ object Pipeline {
       /** eval-in-train n-gram containment threshold */
       containmentThreshold: Double = 0.8,
       /** pack budget in characters of `text` */
-      budget: Int = 4096)
+      budget: Int = 4096,
+      /** id-range width of the packing key's bucket component
+        * ([[Packing.bucketKey]]) — packs never cross a bucket, so
+        * parallelism is #sources x #occupied-buckets
+        */
+      idsPerBucket: Long = 100000L)
 
   final case class Result(
       nInput: Long,
@@ -38,9 +43,11 @@ object Pipeline {
       pairs: DataFrame,
       canonical: DataFrame,
       kept: DataFrame,
-      packed: DataFrame) {
+      packed: DataFrame,
+      miner: Cached[DataFrame]) {
     def unpersist(): Unit = {
       scrubbed.unpersist(); exact.unpersist(); kept.unpersist()
+      miner.close()
     }
   }
 
@@ -61,13 +68,14 @@ object Pipeline {
     val exact = Dedup.dropExactDuplicates(train0, "text", "doc_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // materialize=false: the signature derivation re-reads the PERSISTED
-    // exact frame per join side instead of leaving an unreleasable cached
-    // signature table behind (Result.unpersist has no handle to it)
+    // the handle variant persists the banded signature table (one shingle
+    // pass feeds both self-join sides); Result.unpersist closes it — the
+    // round-2 shape traded the cache away (materialize=false) because the
+    // miner gave the caller no release handle
+    val miner = Dedup.minhashCandidatesH(exact, "text", "doc_id",
+      bands = 16, minJaccard = 0.2)
     val pairs = Dedup.ngramJaccard(exact,
-        Dedup.minhashCandidates(exact, "text", "doc_id",
-          bands = 16, minJaccard = 0.2, materialize = false)
-          .select("id_a", "id_b"),
+        miner.value.select("id_a", "id_b"),
         "text", "doc_id")
       .filter(col("jaccard") >= cfg.jaccardThreshold)
 
@@ -89,10 +97,15 @@ object Pipeline {
           Seq("doc_id"), "left_anti")
     }).persist(StorageLevel.MEMORY_AND_DISK)
 
+    // corpus-scale packing key: (source, id-range bucket) — parallelism
+    // #sources x #buckets, not #sources (Packing.bucketKey)
     val packed = Packing.packGreedy(
-      kept.withColumn("len", length(col("text"))),
-      "source", "doc_id", "len", cfg.budget)
+      kept.withColumn("len", length(col("text")))
+        .withColumn("__pack_grp",
+          Packing.bucketKey(col("source"), col("doc_id"), cfg.idsPerBucket)),
+      "__pack_grp", "doc_id", "len", cfg.budget)
 
-    Result(nInput, scrubbed, eval, exact, pairs, canonical, kept, packed)
+    Result(nInput, scrubbed, eval, exact, pairs, canonical, kept, packed,
+      miner)
   }
 }

@@ -102,21 +102,46 @@ object Similarity {
       .limit(k)
   }
 
-  /** All-pairs top-k per id via LSH buckets (batch kNN for near-dup
-    * mining): returns (id, neighbor_id, cosine) with rank <= k within
-    * each bucket-restricted candidate set.
+  /** All-pairs top-k per id via multi-table RHP-LSH buckets (batch kNN
+    * for near-dup mining): returns (id, neighbor_id, cosine) with
+    * rank <= k within the bucket-restricted candidate set. Shares
+    * [[Dedup.rhpBuckets]] with `embeddingNearDups`: `tables` independent
+    * OR'd signature tables close the single-table recall hole (one
+    * 10-plane table finds a cosine-0.9 neighbor with probability ~0.29 —
+    * the round-2 shape this replaced), and degenerate buckets are capped
+    * before the B²/2 pair blowup. Candidate pairs are mined UNDIRECTED
+    * (id_a < id_b, one cosine per pair) and mirrored before the per-id
+    * rank, so each pair's cosine is computed once.
     */
-  def bucketedKnn(df: DataFrame, vecCol: String, idCol: String,
-                  k: Int, planes: Int = 10, seed: Long = 7L): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("sig", rhpSignature(col("v"), planes, seed))
-    val l = sigs.alias("l"); val r = sigs.alias("r")
+  def bucketedKnnH(df: DataFrame, vecCol: String, idCol: String,
+                   k: Int, planes: Int = 8, tables: Int = 8,
+                   seed: Long = 7L, maxBucket: Int = 1 << 20,
+                   materialize: Boolean = true): Cached[DataFrame] = {
+    val pruned = Dedup.rhpBuckets(df, vecCol, idCol, planes, tables, seed,
+      maxBucket, materialize)
+    val l = pruned.value.alias("l"); val r = pruned.value.alias("r")
+    val undirected = l.join(r,
+        col("l.t") === col("r.t") && col("l.blk") === col("r.blk") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        cosine(col("l.v"), col("r.v")).as("cosine"))
+      .dropDuplicates("id_a", "id_b")
+    val directed = undirected
+      .select(col("id_a").as("id"), col("id_b").as("neighbor_id"), col("cosine"))
+      .unionByName(undirected
+        .select(col("id_b").as("id"), col("id_a").as("neighbor_id"), col("cosine")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    l.join(r, col("l.sig") === col("r.sig") && col("l.id") =!= col("r.id"))
-      .select(col("l.id").as("id"), col("r.id").as("neighbor_id"),
-        cosine(col("l.v"), col("r.v")).as("cosine"))
+    pruned.copy(value = directed
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .filter(col("rank") <= k))
   }
+
+  /** Session-cache variant of [[bucketedKnnH]]. */
+  def bucketedKnn(df: DataFrame, vecCol: String, idCol: String,
+                  k: Int, planes: Int = 8, tables: Int = 8,
+                  seed: Long = 7L, maxBucket: Int = 1 << 20,
+                  materialize: Boolean = true): DataFrame =
+    bucketedKnnH(df, vecCol, idCol, k, planes, tables, seed, maxBucket,
+      materialize).value
 }

@@ -51,8 +51,15 @@ object StreamingDedup {
         p.shingleK, p.perms, p.bands)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // replay guard: a crash between the candidates write and the index
+      // append leaves the index already containing THIS batch's
+      // signatures; probing them back would double-count the batch in the
+      // combined bucket sizes, so buckets near maxBucket could be dropped
+      // on replay only (replay-idempotence bug, round-2 ADVICE). batch_id
+      // is a partition key, so the filter prunes directories.
       val index =
-        if (haveIndex) Some(spark.read.parquet(indexPath(statePath)))
+        if (haveIndex) Some(spark.read.parquet(indexPath(statePath))
+          .filter(col("batch_id") =!= batchId))
         else None
       // per-batch directory, full overwrite: idempotent on replay and a
       // zero-pair batch still writes a schema-bearing (empty) file, so
