@@ -81,7 +81,12 @@ object GraftFunctions {
         TokenHistAgg(args(0), litInt(args(1), "bins"), litInt(args(2), "vocab"))),
     ("char_class_counts",
       "char_class_counts(text) - struct(n_chars, n_alpha, n_digit, n_ws) in one walk",
-      (args: Seq[Expression]) => graft.ops.CharClassCounts(args.head))
+      (args: Seq[Expression]) => graft.ops.CharClassCounts(args.head)),
+    ("freq_items_agg",
+      "freq_items_agg(word, maxMapSize) - heavy-hitters sketch (aggregate)",
+      (args: Seq[Expression]) =>
+        graft.stats.FreqItemsAgg(args(0),
+          if (args.length > 1) litInt(args(1), "maxMapSize") else 4096))
   )
 
   private def info(name: String, usage: String): ExpressionInfo =

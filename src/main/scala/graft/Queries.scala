@@ -816,20 +816,10 @@ object Queries {
     * top-k, the exact heavy-hitters baseline a sketch path would be
     * checked against.
     */
-  private def q38(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"))
-      .orderBy(col("n").desc, col("word"))
-    tbl(spark, dir, "documents")
-      .select(col("source"), explode(split(col("text"), " ")).as("word"))
-      .groupBy(col("source"), col("word"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("source"), col("rank").cast("long").as("rank"),
-        col("word"), col("n"))
+  private def q38(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Vocab.topKExact(tbl(spark, dir, "documents"), "source", "text", 5)
+      .select(col("group").as("source"), col("rank"), col("word"), col("n"))
       .orderBy(col("source"), col("rank"))
-  }
 
   private val q38Sql =
     """WITH wc AS (

@@ -164,6 +164,54 @@ class PlanSpec extends AnyFunSuite {
     assert(viols.queryExecution.executedPlan.toString.contains("CollectMetrics"))
   }
 
+  test("dupSpans flags via a partial aggregate, never a single-partition by-hash window") {
+    import spark.implicits._
+    val docs = (0 until 60).map(i => (i.toLong,
+      s"shared boiler plate words here always tail$i plus filler")).toDF("id", "text")
+    val h = graft.ops.DupSpans.dupSpansKeepFirstH(docs, "text", "id",
+      windowWords = 4)
+    val p = plan(h.value)
+    // per-hash stats (count + first occurrence) must partially aggregate
+    // map-side: a hot boilerplate hash collapses to one row per input
+    // partition before the exchange
+    assert(p.contains("partial_min") || p.contains("partial_first") ||
+      "HashAggregate.*partial".r.findFirstIn(p).isDefined,
+      s"hash stats must partial-aggregate:\n$p")
+    // exactly ONE window remains: the per-document gaps-and-islands
+    // row_number — the round-2 by-hash Window (count + rank over h) is gone
+    assert("Window".r.findAllIn(p).size == 1,
+      s"expected only the per-doc islands window:\n$p")
+    h.close()
+  }
+
+  test("miner bucket caps count via groupBy partial agg, not a by-key window") {
+    import spark.implicits._
+    val docs = (0 until 50).map(i => (i.toLong, s"some words $i repeated here " * 5))
+      .toDF("id", "text")
+    val h = graft.ops.Dedup.minhashCandidatesH(docs, "text", "id")
+    assert(!plan(h.value).contains("Window"),
+      "no window anywhere in the candidate-mining plan")
+    h.close()
+  }
+
+  test("bucketed packing key raises exchange parallelism above #sources") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val keyed = docs.withColumn("grp",
+      graft.ops.Packing.bucketKey(col("source"), col("doc_id"), 100L))
+    val nSources = docs.select("source").distinct().count()
+    val nGroups = keyed.select("grp").distinct().count()
+    assert(nGroups > nSources,
+      s"bucketed key must split sources: $nGroups groups vs $nSources sources")
+    // and the packs respect bucket boundaries: every pack's ids live in
+    // ONE (source, bucket) cell
+    val packs = graft.ops.Packing.packGreedy(keyed, "grp", "doc_id",
+      "n_chars", 1024)
+    val bad = packs.filter(
+      floor(col("seq_ids").getItem(0) / 100) =!=
+        floor(element_at(col("seq_ids"), -1) / 100)).count()
+    assert(bad == 0, "a pack crossed an id-range bucket")
+  }
+
   test("packing's only exchange ships (group, id, len) — never the payload") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val packed = graft.ops.Packing.packGreedy(

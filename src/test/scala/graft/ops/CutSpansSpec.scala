@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** The native one-walk [[CutSpans]] expression must stay BIT-IDENTICAL to
+  * its composed-HOF twin ([[DupSpans.cutSpansComposed]]) — the semantic
+  * definition `concat_ws(" ", filter(split(text," "), !exists(spans, in-
+  * range)))` — across word counts, span overlaps, out-of-range spans,
+  * empty words (consecutive spaces), and empty/missing texts.
+  */
+class CutSpansSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def compare(docs: Seq[(Long, String)],
+                      spans: Seq[(Long, Long, Long)]): Unit = {
+    val df = docs.toDF("doc_id", "text")
+    val sp = spans.toDF("id", "span_start", "span_words")
+    def result(cut: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      cut.select("doc_id", "text_cut").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val native = result(DupSpans.cutSpans(df, "text", "doc_id", sp))
+    val composed = result(DupSpans.cutSpansComposed(df, "text", "doc_id", sp))
+    assert(native == composed)
+  }
+
+  test("hand cases: basic cut, overlap merge, out-of-range, whole-doc") {
+    val docs = Seq(
+      1L -> "a b c d e f g h",
+      2L -> "one two three",
+      3L -> "solo")
+    compare(docs, Seq((1L, 2L, 3L)))                 // drop c d e
+    compare(docs, Seq((1L, 0L, 2L), (1L, 1L, 3L)))   // overlapping spans
+    compare(docs, Seq((2L, 1L, 50L)))                // span past the end
+    compare(docs, Seq((3L, 0L, 1L)))                 // cut everything
+    compare(docs, Seq((1L, 7L, 1L), (1L, 0L, 1L)))   // unsorted span list
+  }
+
+  test("empty words from consecutive spaces and empty text behave identically") {
+    val docs = Seq(
+      1L -> "a  b   c",  // empty words at split positions
+      2L -> "",
+      3L -> " leading and trailing ")
+    compare(docs, Seq((1L, 1L, 2L), (2L, 0L, 1L), (3L, 0L, 1L)))
+    compare(docs, Seq((1L, 0L, 8L)))
+  }
+
+  test("docs without spans pass through untouched (native path not invoked)") {
+    val df = Seq(1L -> "keep me exactly  as-is").toDF("doc_id", "text")
+    val sp = Seq((99L, 0L, 1L)).toDF("id", "span_start", "span_words")
+    val out = DupSpans.cutSpans(df, "text", "doc_id", sp)
+      .select("text_cut").collect()(0).getString(0)
+    assert(out == "keep me exactly  as-is")
+  }
+
+  test("fuzz: native == composed on seeded corpora with random span sets") {
+    for (seed <- Seq(11L, 47L)) {
+      val rng = new graft.SeededRng(seed)
+      val vocab = Vector("aa", "b", "ccc", "dddd", "", "e")
+      val docs = (0L until 30L).map { i =>
+        i -> Seq.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      val spans = (0 until 40).map { _ =>
+        (rng.nextInt(30).toLong, rng.nextInt(10).toLong,
+          (1 + rng.nextInt(6)).toLong)
+      }
+      compare(docs, spans)
+    }
+  }
+
+  test("cut composes with keep-first spans end-to-end (kept copy survives)") {
+    val phrase = "alpha bravo charlie delta echo foxtrot"
+    val docs = Seq(
+      1L -> s"one two three $phrase four five six",
+      2L -> s"$phrase seven eight nine ten eleven twelve").toDF("doc_id", "text")
+    val spans = DupSpans.dupSpansKeepFirst(docs, "text", "doc_id", windowWords = 4)
+    val cut = DupSpans.cutSpans(docs, "text", "doc_id", spans)
+      .select("doc_id", "text_cut").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cut(1L) == s"one two three $phrase four five six")
+    assert(cut(2L) == "seven eight nine ten eleven twelve")
+  }
+}

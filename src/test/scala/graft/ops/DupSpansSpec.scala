@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SharedSpark
@@ -90,6 +91,42 @@ class DupSpansSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(got == brute, s"seed $seed")
     }
+  }
+
+  test("maxWindowDf: boilerplate windows are flagged at EVERY copy, first included") {
+    // the same 4-word phrase in 5 docs; df = 5 occurrences of each window
+    val docs = (1L to 5L).map(i => i -> s"license header boiler plate unique$i")
+      .toDF("doc_id", "text")
+    // unbounded: strict keep-first — doc 1's copy is exempt
+    val strict = DupSpans.dupSpansKeepFirst(docs, "text", "doc_id", windowWords = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(strict == Set(2L, 3L, 4L, 5L))
+    // capped below the df: flag-whole-island — doc 1's copy is cut too
+    val capped = DupSpans.dupSpansKeepFirst(docs, "text", "doc_id",
+        windowWords = 4, maxWindowDf = 4L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(capped == Set(1L, 2L, 3L, 4L, 5L))
+    // a cap ABOVE the df changes nothing
+    val loose = DupSpans.dupSpansKeepFirst(docs, "text", "doc_id",
+        windowWords = 4, maxWindowDf = 100L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(loose == strict)
+  }
+
+  test("planted 1e5-occurrence hot window completes without a straggler partition") {
+    // 100k docs share one 8-word boilerplate prefix: the round-2
+    // Window.partitionBy(h) shape pinned all 1e5 occurrences of each
+    // prefix window into ONE partition (and sorted them for keep-first);
+    // the groupBy+join-back shape partial-aggregates them map-side
+    val boiler = "this website uses cookies to improve your experience"
+    val docs = spark.range(0, 100000)
+      .select(col("id").as("doc_id"),
+        concat(lit(boiler), lit(" tail"), col("id").cast("string")).as("text"))
+    val h = DupSpans.dupSpansKeepFirstH(docs, "text", "doc_id",
+      windowWords = 8, maxWindowDf = 1000L)
+    // every doc's boilerplate prefix is flagged (df 1e5 > cap -> no exemption)
+    assert(h.value.count() == 100000L)
+    h.close()
   }
 
   test("adjacent duplicated runs merge into one maximal island") {

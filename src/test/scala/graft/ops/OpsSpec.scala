@@ -114,6 +114,57 @@ class OpsSpec extends AnyFunSuite {
     exact.foreach(c => assert(c >= 0.9))
   }
 
+  test("bucketedKnn multi-table blocking: recall >= 0.9 vs brute-force top-k, handle releases cache") {
+    // same planted construction as the near-dup test: 40 (unit, cosine-0.92
+    // partner) pairs — each id's true nearest neighbor is its partner
+    val dim = 16
+    def baseVec(i: Int): Array[Double] =
+      Array.tabulate(dim)(j => math.sin(i * 31 + j * 7 + 1))
+    val rows = (0 until 40).flatMap { i =>
+      val b = baseVec(i)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      val unit = b.map(_ / nb)
+      val pert = Array.tabulate(dim)(j => math.cos(i * 17 + j * 13 + 3))
+      val dotUp = unit.zip(pert).map { case (u, p) => u * p }.sum
+      val orth = pert.zipWithIndex.map { case (p, j) => p - dotUp * unit(j) }
+      val no = math.sqrt(orth.map(x => x * x).sum)
+      val c = 0.92; val s = math.sqrt(1 - c * c)
+      val v2 = unit.zipWithIndex.map { case (u, j) => c * u + s * orth(j) / no }
+      Seq((2L * i, unit.map(_.toFloat).toSeq), (2L * i + 1, v2.map(_.toFloat).toSeq))
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val h = Similarity.bucketedKnnH(vecs, "embedding", "vec_id",
+      k = 3, planes = 8, tables = 16)
+    val neighbors = h.value.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: brute-force top-3 per id (cosine desc, id asc — the
+    // op's own tie-break); the planted partner is only ONE of the true
+    // neighbors, the sinusoid base vectors correlate across ids too
+    val byId = rows.toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val trueTop = byId.keys.flatMap { id =>
+      byId.keys.filter(_ != id).toSeq
+        .map(o => (o, cos(byId(id), byId(o))))
+        .sortBy { case (o, c) => (-c, o) }.take(3)
+        .map { case (o, _) => (id, o) }
+    }.toSet
+    val recall = (trueTop & neighbors).size.toDouble / trueTop.size
+    assert(recall >= 0.9, s"recall $recall vs brute-force top-3")
+    // the handle unpersists the signature table deterministically
+    assert(h.handles.nonEmpty)
+    assert(h.handles.forall(_.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE))
+    h.close()
+    h.handles.foreach { f =>
+      assert(f.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "signature table still cached after close()")
+    }
+  }
+
   test("lshTopK multi-probe widens recall monotonically and never fabricates rows") {
     val vecs = (0 until 200).map { i =>
       (i.toLong, Seq.tabulate(8)(j => math.sin(i * 13 + j * 5).toFloat))

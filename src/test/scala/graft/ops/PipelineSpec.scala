@@ -60,6 +60,15 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(1), r.getSeq[Long](4).toList))
     assert(packs.toSeq == Seq((0L, List(4L, 6L))))
 
+    // 7. unpersist releases EVERY table the run pinned — including the
+    // miner's signature table via its Cached handle (round-2 left it
+    // cached with no way to release short of clearCache())
     res.unpersist()
+    val uncached = org.apache.spark.storage.StorageLevel.NONE
+    assert(res.scrubbed.storageLevel == uncached)
+    assert(res.exact.storageLevel == uncached)
+    assert(res.kept.storageLevel == uncached)
+    res.miner.handles.foreach(f => assert(f.storageLevel == uncached,
+      "miner signature table still cached after Result.unpersist()"))
   }
 }

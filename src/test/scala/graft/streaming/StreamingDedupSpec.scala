@@ -55,4 +55,24 @@ class StreamingDedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairsOf(dir).keySet == full)
   }
+
+  test("replay after crash-between-writes is idempotent even near the bucket cap") {
+    // crash model: batch 0's signatures were appended to the index, but
+    // the batch is replayed (checkpoint never advanced). The probed index
+    // then already contains the batch itself; without the batch_id
+    // exclusion the combined bucket count doubles (3 index + 3 fresh = 6
+    // > maxBucket 4) and the replay silently drops pairs the original
+    // run emitted.
+    val dir = java.nio.file.Files.createTempDirectory("sdedup-cap").toString
+    val trio = Seq(
+      20L -> s"$base twin", 21L -> s"$base twin", 22L -> s"$base twin")
+      .toDF("doc_id", "text")
+    val cap = StreamingDedup.Params(maxBucket = 4)
+    StreamingDedup.processBatch(spark, trio, 0L, dir, cap)
+    val first = pairsOf(dir)
+    assert(first.keySet == Set((20L, 21L), (20L, 22L), (21L, 22L)))
+    // replay batch 0 against a state that already holds its signatures
+    StreamingDedup.processBatch(spark, trio, 0L, dir, cap)
+    assert(pairsOf(dir) == first, "replay changed the emitted pairs")
+  }
 }
