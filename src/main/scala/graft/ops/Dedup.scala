@@ -269,24 +269,38 @@ object Dedup {
     capBuckets(sigs, Seq(col("t"), col("blk")), maxBucket, materialize)
   }
 
-  /** Drop buckets larger than `maxBucket` from the (optionally persisted)
-    * signature table. Bucket sizes come from a `groupBy` — map-side
-    * PARTIAL aggregation collapses a hot bucket's rows inside each input
-    * partition before anything crosses the wire (a `Window.partitionBy`
-    * count — the round-2 shape — pinned every occurrence of a boilerplate
-    * bucket key into ONE partition: the same straggler class as round-3's
-    * DupSpans fix). Over-cap keys are at most n/maxBucket rows and in
-    * practice a handful; the anti-join against them is AQE-broadcast.
+  /** Drop buckets larger than `maxBucket` from the signature table.
+    * Bucket sizes come from a `groupBy` — map-side PARTIAL aggregation
+    * collapses a hot bucket's rows inside each input partition before
+    * anything crosses the wire (a `Window.partitionBy` count — the
+    * round-2 shape — pinned every occurrence of a boilerplate bucket key
+    * into ONE partition: the same straggler class as round-3's DupSpans
+    * fix). Over-cap keys are at most n/maxBucket rows and in practice a
+    * handful; the anti-join against them is AQE-broadcast.
+    *
+    * With `materialize`, TWO narrow tables are pinned: the raw signature
+    * rows (so the corpus is shingled/hashed once — counts and cap read
+    * it) and the capped frame REPARTITIONED by the bucket keys — the
+    * pair self-join then needs NO exchange at all (both sides read the
+    * co-partitioned cache), and because degenerate buckets are removed
+    * BEFORE this one shuffle, no partition of it can be hot. Without the
+    * pre-partitioned cache the join re-shuffles both of its sides
+    * (round-3 interim shape: 2 exchanges of vector-bearing rows, ~2.5x
+    * on q21).
     */
   private def capBuckets(sigs: DataFrame, keys: Seq[Column], maxBucket: Int,
                          materialize: Boolean): Cached[DataFrame] = {
     val keyNames = keys.map(_.toString)
-    val s =
+    val raw =
       if (materialize) sigs.persist(StorageLevel.MEMORY_AND_DISK) else sigs
-    val hot = s.groupBy(keys: _*).agg(count(lit(1)).as("__bsz"))
+    val hot = raw.groupBy(keys: _*).agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") > maxBucket)
       .select(keyNames.map(col): _*)
-    Cached(s.join(hot, keyNames, "left_anti"),
-      if (materialize) Seq(s) else Nil)
+    val capped = raw.join(hot, keyNames, "left_anti")
+    if (materialize) {
+      val coPart = capped.repartition(keys: _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      Cached(coPart, Seq(raw, coPart))
+    } else Cached(capped)
   }
 }

@@ -68,6 +68,18 @@ object OpsBench {
       graft.ops.Dedup.dropExactDuplicates(docs, "text", "doc_id").count())
     bestOf("dup_spans")(
       graft.ops.DupSpans.dupSpans(docs, "text", "doc_id").count())
+    // keep-first mining + span CUTTING, native one-walk expression vs the
+    // composed per-word x per-span HOF twin (the round-2 shape) — same
+    // spans, same output checksum, only the cut expression differs
+    def cutWith(cut: (org.apache.spark.sql.DataFrame, String, String,
+        org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame): Long = {
+      val spans = graft.ops.DupSpans.dupSpansKeepFirstH(docs, "text", "doc_id")
+      try cut(docs, "text", "doc_id", spans.value)
+        .agg(sum(length(col("text_cut")))).collect()(0).getLong(0)
+      finally spans.close()
+    }
+    bestOf("dup_spans_cut_native")(cutWith(graft.ops.DupSpans.cutSpans))
+    bestOf("dup_spans_cut_hof")(cutWith(graft.ops.DupSpans.cutSpansComposed))
     bestOf("minhash_pairs") {
       val n = graft.ops.Dedup.minhashCandidates(docs, "text", "doc_id",
         bands = 16, minJaccard = 0.8).count()
