@@ -153,7 +153,13 @@ object Queries {
       |  CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS n_extra
       |FROM (SELECT text, count(*) AS n FROM documents GROUP BY 1 HAVING count(*) > 1)""".stripMargin
 
-  /** Window top-k per partition (violation sampling shape, SURVEY §2.5). */
+  /** Window top-k per partition (violation sampling shape, SURVEY §2.5).
+    * Scale note: the rank<=k filter triggers Catalyst's
+    * InferWindowGroupLimit — a PARTIAL WindowGroupLimit keeps only k rows
+    * per map partition before the exchange, so the per-source final
+    * partition receives ~k x #input-partitions rows, never the whole
+    * source (pinned in PlanSpec).
+    */
   private def q08(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("source"))
       .orderBy(col("n_chars").desc, col("doc_id"))

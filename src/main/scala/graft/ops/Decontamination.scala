@@ -1,8 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Train/eval decontamination: find training documents that CONTAIN an
   * evaluation document's n-grams — the overlap check every benchmark-clean
@@ -36,9 +36,22 @@ object Decontamination {
       explode(distinctShingles(col(textCol))).as("h"))
     val tSh =
       if (maxShingleDf == Int.MaxValue) tSh0
-      else tSh0
-        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("h"))))
-        .filter(col("__df") <= maxShingleDf).drop("__df")
+      else {
+        // boilerplate shingles counted via groupBy (map-side partial agg
+        // collapses a hot shingle inside each partition) and removed with
+        // an AQE-broadcast anti-join — a by-hash window count would pin
+        // all occurrences of the hottest shingle into one partition, the
+        // straggler the cap exists to prevent. The (id, h) rows are
+        // persisted so the count pass and the join side share one
+        // shingle derivation (session-lifetime cache, like the miners'
+        // plain variants).
+        val rows = tSh0.persist(StorageLevel.MEMORY_AND_DISK)
+        val hot = rows.groupBy(col("h"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxShingleDf)
+          .select(col("h"))
+        rows.join(hot, Seq("h"), "left_anti")
+      }
 
     val eSh = eval.select(col(idCol).as("eval_id"),
         distinctShingles(col(textCol)).as("sh"))

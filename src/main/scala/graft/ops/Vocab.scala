@@ -23,6 +23,13 @@ object Vocab {
 
   def topKExact(df: DataFrame, groupCol: String, textCol: String,
                 k: Int): DataFrame = {
+    // scale note on the rank window: the rank<=k filter triggers
+    // Catalyst's InferWindowGroupLimit — a PARTIAL WindowGroupLimit
+    // keeps only k rows per map partition before the exchange, so the
+    // per-group final partition sees ~k x #input-partitions rows, never
+    // the group's whole vocabulary (pinned in PlanSpec). The exchange
+    // that remains the 100-TB bottleneck is the distinct-(group, word)
+    // COUNT shuffle — that is what [[topKSketch]] removes.
     val w = Window.partitionBy(col("group"))
       .orderBy(col("n").desc, col("word"))
     df.select(col(groupCol).as("group"),

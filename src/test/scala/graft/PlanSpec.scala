@@ -194,6 +194,19 @@ class PlanSpec extends AnyFunSuite {
     h.close()
   }
 
+  test("rank<=k windows get partial WindowGroupLimit (top-k pruned before the exchange)") {
+    // Catalyst's InferWindowGroupLimit makes the naive per-group rank
+    // window scale-safe: only k rows per map partition reach the
+    // exchange, so the final per-group partition is bounded regardless of
+    // group size. This is why q08/q38 keep the declarative shape instead
+    // of a hand-rolled salted two-phase top-k.
+    for (q <- Seq("q08_topk_window", "q38_top_words")) {
+      val p = plan(Queries.defs.toMap.apply(q).fn(spark, "/root/testdata/sf0.001"))
+      assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+        s"$q must carry a partial WindowGroupLimit:\n$p")
+    }
+  }
+
   test("bucketed packing key raises exchange parallelism above #sources") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val keyed = docs.withColumn("grp",
