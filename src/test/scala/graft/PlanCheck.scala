@@ -40,6 +40,21 @@ object PlanCheck {
     println("==== count-only uniqueness (validateOneScan) ====")
     df.select(col("doc_id")).groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).explain("formatted")
+
+    println("==== round 3: miner pair join over the co-partitioned capped cache ====")
+    import spark.implicits._
+    val docs = (0 until 50).map(i => (i.toLong, s"some words $i repeated here " * 5))
+      .toDF("id", "text")
+    val mh = graft.ops.Dedup.minhashCandidatesH(docs, "text", "id")
+    mh.value.explain("formatted")
+    mh.close()
+    println("==== round 3: de-skewed dupSpans (partial agg + join-back, one per-doc window) ====")
+    val ds = graft.ops.DupSpans.dupSpansKeepFirstH(docs, "text", "id", 4)
+    ds.value.explain("formatted")
+    ds.close()
+    println("==== round 3: q08 rank top-k (partial WindowGroupLimit) ====")
+    Queries.defs.toMap.apply("q08_topk_window").fn(spark, "/root/testdata/sf0.001")
+      .explain("formatted")
     spark.stop()
   }
 }
