@@ -34,14 +34,19 @@ val jdk17AddOpens = Seq(
 // sizes eden/old toward the big ceiling, so every run commits tens of GB
 // of fresh zeroed pages and takes multi-second evacuation pauses
 // (GC(56) 6.4s; experiments + gc logs in BENCH/BASELINE.md round 3).
-// 16g is ~4x the suite's live set; raise the clamp if a workload truly
-// needs more.
-val forkHeap: String = {
+// 16g is ~4x the suite's live set. A workload that genuinely needs a
+// bigger heap sets SPARK_GRAFT_XMX — an explicit, never-clamped override.
+val forkHeap: String = sys.env.get("SPARK_GRAFT_XMX").getOrElse {
   val requested = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
-  val gm = "(?i)^(\\d+)([gm])$".r
+  val unit = "(?i)^(\\d+)([kmgt])b?$".r
   requested match {
-    case gm(n, u) =>
-      val mb = if (u.equalsIgnoreCase("g")) n.toLong * 1024 else n.toLong
+    case unit(n, u) =>
+      val mb = u.toLowerCase match {
+        case "k" => n.toLong / 1024
+        case "m" => n.toLong
+        case "g" => n.toLong * 1024
+        case "t" => n.toLong * 1024 * 1024
+      }
       if (mb > 16384) "16g" else requested
     case _ => requested
   }

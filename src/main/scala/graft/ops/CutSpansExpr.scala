@@ -28,7 +28,9 @@ case class CutSpans(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = StringType
-  override def nullable: Boolean = false
+  // eval returns the (possibly null) text verbatim when spans is null —
+  // the result can only be null when BOTH inputs can be
+  override def nullable: Boolean = left.nullable && right.nullable
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val spansV = right.eval(input)

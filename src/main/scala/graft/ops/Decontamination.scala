@@ -25,17 +25,17 @@ import org.apache.spark.storage.StorageLevel
   */
 object Decontamination {
 
-  def containmentPairs(train: DataFrame, eval: DataFrame,
-                       textCol: String, idCol: String,
-                       k: Int = 3, minContainment: Double = 0.8,
-                       maxShingleDf: Int = Int.MaxValue): DataFrame = {
+  def containmentPairsH(train: DataFrame, eval: DataFrame,
+                        textCol: String, idCol: String,
+                        k: Int = 3, minContainment: Double = 0.8,
+                        maxShingleDf: Int = Int.MaxValue): Cached[DataFrame] = {
     def distinctShingles(c: Column): Column =
       array_distinct(TextOps.shingles(c, k))
 
     val tSh0 = train.select(col(idCol).as("train_id"),
       explode(distinctShingles(col(textCol))).as("h"))
-    val tSh =
-      if (maxShingleDf == Int.MaxValue) tSh0
+    val (tSh, pinned) =
+      if (maxShingleDf == Int.MaxValue) (tSh0, Nil)
       else {
         // boilerplate shingles counted via groupBy (map-side partial agg
         // collapses a hot shingle inside each partition) and removed with
@@ -43,14 +43,14 @@ object Decontamination {
         // all occurrences of the hottest shingle into one partition, the
         // straggler the cap exists to prevent. The (id, h) rows are
         // persisted so the count pass and the join side share one
-        // shingle derivation (session-lifetime cache, like the miners'
-        // plain variants).
+        // shingle derivation; close() the returned handle after
+        // consuming the pairs.
         val rows = tSh0.persist(StorageLevel.MEMORY_AND_DISK)
         val hot = rows.groupBy(col("h"))
           .agg(count(lit(1)).as("__df"))
           .filter(col("__df") > maxShingleDf)
           .select(col("h"))
-        rows.join(hot, Seq("h"), "left_anti")
+        (rows.join(hot, Seq("h"), "left_anti"), Seq(rows))
       }
 
     val eSh = eval.select(col(idCol).as("eval_id"),
@@ -58,12 +58,23 @@ object Decontamination {
       .select(col("eval_id"), size(col("sh")).as("n_sh"),
         explode(col("sh")).as("h"))
 
-    tSh.join(eSh, "h")
+    Cached(tSh.join(eSh, "h")
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("overlap"), max(col("n_sh")).as("n_sh"))
       .withColumn("containment",
         col("overlap") / col("n_sh").cast("double"))
       .filter(col("containment") >= minContainment)
-      .select(col("train_id"), col("eval_id"), col("containment"))
+      .select(col("train_id"), col("eval_id"), col("containment")),
+      pinned)
   }
+
+  /** Session-cache variant of [[containmentPairsH]] (pins nothing unless
+    * `maxShingleDf` is finite).
+    */
+  def containmentPairs(train: DataFrame, eval: DataFrame,
+                       textCol: String, idCol: String,
+                       k: Int = 3, minContainment: Double = 0.8,
+                       maxShingleDf: Int = Int.MaxValue): DataFrame =
+    containmentPairsH(train, eval, textCol, idCol, k, minContainment,
+      maxShingleDf).value
 }

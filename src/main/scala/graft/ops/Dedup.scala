@@ -89,7 +89,7 @@ object Dedup {
     // shingles) would dominate the join without finding near-dups. One
     // window pass over the (band, band_hash) shuffle does it — no second
     // scan + agg + join.
-    val pruned = capBuckets(sigs, Seq(col("band"), col("band_hash")), maxBucket,
+    val pruned = capBuckets(sigs, Seq("band", "band_hash"), maxBucket,
       materialize)
 
     // bucket-local pair generation: same (band, band_hash), id < id2;
@@ -174,7 +174,7 @@ object Dedup {
       .withColumn("piece", explode(array(pieces: _*)))
       .select(col("id"), col("sig"),
         col("piece.blk").as("blk"), col("piece.key").as("key"))
-    val pruned = capBuckets(sigs, Seq(col("blk"), col("key")), maxBucket,
+    val pruned = capBuckets(sigs, Seq("blk", "key"), maxBucket,
       materialize)
     val l = pruned.value.alias("l"); val r = pruned.value.alias("r")
     pruned.copy(value =
@@ -266,7 +266,7 @@ object Dedup {
       .withColumn("piece", explode(array(sigStructs: _*)))
       .select(col("id"), col("v"),
         col("piece.t").as("t"), col("piece.blk").as("blk"))
-    capBuckets(sigs, Seq(col("t"), col("blk")), maxBucket, materialize)
+    capBuckets(sigs, Seq("t", "blk"), maxBucket, materialize)
   }
 
   /** Drop buckets larger than `maxBucket` from the signature table.
@@ -288,14 +288,14 @@ object Dedup {
     * (round-3 interim shape: 2 exchanges of vector-bearing rows, ~2.5x
     * on q21).
     */
-  private def capBuckets(sigs: DataFrame, keys: Seq[Column], maxBucket: Int,
+  private def capBuckets(sigs: DataFrame, keyNames: Seq[String], maxBucket: Int,
                          materialize: Boolean): Cached[DataFrame] = {
-    val keyNames = keys.map(_.toString)
+    val keys = keyNames.map(col)
     val raw =
       if (materialize) sigs.persist(StorageLevel.MEMORY_AND_DISK) else sigs
     val hot = raw.groupBy(keys: _*).agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") > maxBucket)
-      .select(keyNames.map(col): _*)
+      .select(keys: _*)
     val capped = raw.join(hot, keyNames, "left_anti")
     if (materialize) {
       val coPart = capped.repartition(keys: _*)

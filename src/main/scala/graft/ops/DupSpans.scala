@@ -33,13 +33,20 @@ import org.apache.spark.storage.StorageLevel
 object DupSpans {
 
   /** Per-hash stats over the persisted windows frame: occurrence count
-    * and globally-first occurrence, both map-side-partial-aggregable.
+    * and (only when the keep-first variant needs it) the globally-first
+    * occurrence — both map-side-partial-aggregable. The plain dupSpans
+    * path skips the ordered-struct min: it would ride the shuffle just
+    * to be dropped.
     */
-  private def hashStats(windows: DataFrame): DataFrame =
-    windows.groupBy(col("h"))
-      .agg(count(lit(1)).as("__df"),
+  private def hashStats(windows: DataFrame, needFirst: Boolean): DataFrame = {
+    val aggs =
+      if (needFirst) Seq(count(lit(1)).as("__df"),
         min(struct(col("id"), col("pos"))).as("__first"))
+      else Seq(count(lit(1)).as("__df"))
+    windows.groupBy(col("h"))
+      .agg(aggs.head, aggs.tail: _*)
       .filter(col("__df") > 1)
+  }
 
   private def islands(flagged: DataFrame, windowWords: Int): DataFrame = {
     // gaps and islands: consecutive positions share (pos - row_number)
@@ -86,7 +93,7 @@ object DupSpans {
                 materialize: Boolean = true): Cached[DataFrame] = {
     val windows = windowsOf(df, textCol, idCol, windowWords, materialize)
     val flagged = windows.value
-      .join(hashStats(windows.value), "h")
+      .join(hashStats(windows.value, needFirst = false), "h")
       .select(col("id"), col("n_words"), col("pos"))
     windows.copy(value = islands(flagged, windowWords))
   }
@@ -119,7 +126,7 @@ object DupSpans {
                          materialize: Boolean = true): Cached[DataFrame] = {
     val windows = windowsOf(df, textCol, idCol, windowWords, materialize)
     val flagged = windows.value
-      .join(hashStats(windows.value), "h")
+      .join(hashStats(windows.value, needFirst = true), "h")
       .filter(col("__df") > lit(maxWindowDf) ||
         !(col("__first.id") === col("id") && col("__first.pos") === col("pos")))
       .select(col("id"), col("n_words"), col("pos"))

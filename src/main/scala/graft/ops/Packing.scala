@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{col, concat_ws, floor}
+import org.apache.spark.sql.functions.{col, concat_ws, floor, length, lit, substring_index}
 
 /** Sequence packing: greedy first-fit-in-order packing of token sequences
   * into a fixed context budget — the step that turns a filtered corpus
@@ -32,11 +32,24 @@ object Packing {
     * within each bucket; the boundary cost is at most one underfull pack
     * per bucket, bounded and deterministic. Needs no data statistics:
     * pick idsPerBucket so a bucket's sequences sum to a few hundred MB.
+    * `byCol` must be non-null; recover the parts with [[parseBucketKey]]
+    * (which parses from the RIGHT, so a source containing '#' round-trips).
     */
   def bucketKey(byCol: Column, idCol: Column, idsPerBucket: Long): Column = {
     require(idsPerBucket > 0, "idsPerBucket must be positive")
     concat_ws("#", byCol.cast("string"),
       floor(idCol.cast("long") / idsPerBucket).cast("long").cast("string"))
+  }
+
+  /** (source, bucket) back out of a [[bucketKey]] group. The bucket
+    * digits follow the LAST '#', so parsing from the right is exact even
+    * when the source value itself contains '#' (a left split would
+    * truncate it and throw on the long cast under ANSI mode).
+    */
+  def parseBucketKey(group: Column): (Column, Column) = {
+    val bucket = substring_index(group, "#", -1)
+    val source = group.substr(lit(1), length(group) - length(bucket) - 1)
+    (source, bucket.cast("long"))
   }
 
   /** One pack per output row: (group, pack_id, n_seqs, total_len, seq_ids).

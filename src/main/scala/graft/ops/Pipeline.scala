@@ -35,6 +35,11 @@ object Pipeline {
         */
       idsPerBucket: Long = 100000L)
 
+  /** `packed`'s `group` column is the composite (source, id-range
+    * bucket) packing key; the parsed `source` and `bucket` columns are
+    * exposed alongside it (round 3 — previously `group` was the source
+    * alone).
+    */
   final case class Result(
       nInput: Long,
       scrubbed: DataFrame,
@@ -98,12 +103,17 @@ object Pipeline {
     }).persist(StorageLevel.MEMORY_AND_DISK)
 
     // corpus-scale packing key: (source, id-range bucket) — parallelism
-    // #sources x #buckets, not #sources (Packing.bucketKey)
+    // #sources x #buckets, not #sources (Packing.bucketKey). The raw
+    // composite key is internal; `packed` exposes the parsed source and
+    // bucket columns alongside it.
+    val (packSrc, packBucket) = Packing.parseBucketKey(col("group"))
     val packed = Packing.packGreedy(
-      kept.withColumn("len", length(col("text")))
-        .withColumn("__pack_grp",
-          Packing.bucketKey(col("source"), col("doc_id"), cfg.idsPerBucket)),
-      "__pack_grp", "doc_id", "len", cfg.budget)
+        kept.withColumn("len", length(col("text")))
+          .withColumn("__pack_grp",
+            Packing.bucketKey(col("source"), col("doc_id"), cfg.idsPerBucket)),
+        "__pack_grp", "doc_id", "len", cfg.budget)
+      .withColumn("source", packSrc)
+      .withColumn("bucket", packBucket)
 
     Result(nInput, scrubbed, eval, exact, pairs, canonical, kept, packed,
       miner)

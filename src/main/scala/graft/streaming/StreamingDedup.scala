@@ -25,9 +25,11 @@ import graft.ops.IncrementalDedup
   *  - the index is partitioned by (band, batch_id) and written with
   *    dynamic overwrite, so a replayed append is idempotent;
   *  - a replay that probes an index already containing its own batch
-  *    (crash between the two writes) only re-derives pairs the in-batch
-  *    join produces anyway — the (id_a, id_b) groupBy collapses them and
-  *    the id inequality drops self-pairs, so the output is unchanged.
+  *    (crash between the two writes) EXCLUDES its own batch_id from the
+  *    probe: without that filter the combined bucket counts would count
+  *    the batch twice, and buckets between maxBucket/2 and maxBucket
+  *    would be dropped on replay only — fewer pairs than the original
+  *    run (the near-cap replay test pins this).
   */
 object StreamingDedup {
 

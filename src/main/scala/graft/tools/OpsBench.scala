@@ -68,18 +68,34 @@ object OpsBench {
       graft.ops.Dedup.dropExactDuplicates(docs, "text", "doc_id").count())
     bestOf("dup_spans")(
       graft.ops.DupSpans.dupSpans(docs, "text", "doc_id").count())
-    // keep-first mining + span CUTTING, native one-walk expression vs the
-    // composed per-word x per-span HOF twin (the round-2 shape) — same
-    // spans, same output checksum, only the cut expression differs
-    def cutWith(cut: (org.apache.spark.sql.DataFrame, String, String,
-        org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame): Long = {
-      val spans = graft.ops.DupSpans.dupSpansKeepFirstH(docs, "text", "doc_id")
-      try cut(docs, "text", "doc_id", spans.value)
-        .agg(sum(length(col("text_cut")))).collect()(0).getLong(0)
-      finally spans.close()
+    bestOf("dup_spans_keepfirst")(
+      graft.ops.DupSpans.dupSpansKeepFirst(docs, "text", "doc_id").count())
+    // span CUTTING in isolation: spans precomputed + persisted OUTSIDE
+    // the timer, so these two rows measure only the cut projection —
+    // native one-walk expression vs the composed per-word x per-span HOF
+    // twin (same spans, same output checksum)
+    locally {
+      val spans = graft.ops.DupSpans.dupSpansKeepFirst(docs, "text", "doc_id")
+        .persist()
+      spans.count()
+      def cutSum(cut: (org.apache.spark.sql.DataFrame, String, String,
+          org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame): Long =
+        cut(docs, "text", "doc_id", spans)
+          .agg(sum(length(col("text_cut")))).collect()(0).getLong(0)
+      def timeOnly(name: String)(f: => Long): Unit = {
+        val ts = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          val out = f
+          ((System.nanoTime() - t0) / 1e9, out)
+        }
+        val best = ts.map(_._1).min
+        println(f"$name%-26s best=${best}%7.2fs  docs/s=${nDocs / best}%9.0f  out=${ts.last._2}")
+      }
+      timeOnly("cut_only_native")(cutSum(graft.ops.DupSpans.cutSpans))
+      timeOnly("cut_only_hof")(cutSum(graft.ops.DupSpans.cutSpansComposed))
+      spans.unpersist()
+      spark.catalog.clearCache()
     }
-    bestOf("dup_spans_cut_native")(cutWith(graft.ops.DupSpans.cutSpans))
-    bestOf("dup_spans_cut_hof")(cutWith(graft.ops.DupSpans.cutSpansComposed))
     bestOf("minhash_pairs") {
       val n = graft.ops.Dedup.minhashCandidates(docs, "text", "doc_id",
         bands = 16, minJaccard = 0.8).count()

@@ -72,6 +72,17 @@ class CutSpansSpec extends AnyFunSuite {
     }
   }
 
+  test("a caller whose idCol is itself named \"id\" does not collide with the spans frame") {
+    // round-2 bug: cutSpans joined on byDoc("id") then drop("id") — an
+    // input column named "id" made the join condition ambiguous
+    val df = Seq(1L -> "a b c d").toDF("id", "text")
+    val sp = Seq((1L, 1L, 2L)).toDF("id", "span_start", "span_words")
+    val out = DupSpans.cutSpans(df, "text", "id", sp)
+    assert(out.columns.toSeq == Seq("id", "text", "text_cut"))
+    val row = out.collect()(0)
+    assert(row.getAs[Long]("id") == 1L && row.getAs[String]("text_cut") == "a d")
+  }
+
   test("cut composes with keep-first spans end-to-end (kept copy survives)") {
     val phrase = "alpha bravo charlie delta echo foxtrot"
     val docs = Seq(
