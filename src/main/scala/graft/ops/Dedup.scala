@@ -28,12 +28,36 @@ object Dedup {
     * Hash collisions are negligible at 64 bits; pipelines that need
     * certainty can re-verify texts within each (tiny) group.
     * `keep` picks the minimum id as the canonical representative.
+    *
+    * `all_ids` holds the `maxIds` SMALLEST ids of the group (ascending).
+    * An unbounded collect_list of a mega-duplicated content (a boiler-
+    * plate page occurring 1e8 times) would build a 1e8-element array in
+    * one aggregation buffer; instead the ids ride a `row_number <= maxIds`
+    * window whose rank filter becomes a partial WindowGroupLimit — each
+    * map partition forwards at most maxIds rows per content (pinned in
+    * PlanSpec for the same shape in dropExactDuplicates). `n` stays the
+    * EXACT group size (its count is a plain partial-aggregated groupBy).
+    * Keep maxIds below spark.sql.optimizer.windowGroupLimitThreshold
+    * (1000 in this build) — past it Catalyst skips the rewrite and the
+    * window degrades to the unbounded single-partition shape. (The rule
+    * also correctly skips when the child's row count is statically known
+    * to be <= the limit — a tiny LocalRelation won't show the node.)
     */
-  def exactGroups(df: DataFrame, text: Column, id: Column): DataFrame =
-    df.groupBy(xxhash64(text).as("dup_hash"))
-      .agg(count(lit(1)).as("n"), min(id).as("keep_id"),
-        sort_array(collect_list(id)).as("all_ids"))
+  def exactGroups(df: DataFrame, text: Column, id: Column,
+                  maxIds: Int = 256): DataFrame = {
+    val hashed = df.select(xxhash64(text).as("dup_hash"), id.as("__id"))
+    val stats = hashed.groupBy(col("dup_hash"))
+      .agg(count(lit(1)).as("n"), min(col("__id")).as("keep_id"))
       .filter(col("n") > 1)
+    val w = Window.partitionBy(col("dup_hash")).orderBy(col("__id"))
+    val sampled = hashed
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxIds)
+      .groupBy(col("dup_hash"))
+      .agg(sort_array(collect_list(col("__id"))).as("all_ids"))
+    stats.join(sampled, "dup_hash")
+      .select(col("dup_hash"), col("n"), col("keep_id"), col("all_ids"))
+  }
 
   /** Exact dedup keeping the minimum id per content hash. Grouping by a
     * 64-bit content hash (not the text itself) keeps shuffle rows narrow;

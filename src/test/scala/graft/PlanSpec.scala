@@ -207,6 +207,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dropExactDuplicates gets a partial WindowGroupLimit (hot content is pruned map-side)") {
+    import spark.implicits._
+    val docs = (0 until 100).map(i => (i.toLong, s"text ${i % 7}")).toDF("id", "text")
+    val p = plan(graft.ops.Dedup.dropExactDuplicates(docs, "text", "id"))
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"rn==1 filter must prune per-content copies before the exchange:\n$p")
+  }
+
   test("bucketed packing key raises exchange parallelism above #sources") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val keyed = docs.withColumn("grp",

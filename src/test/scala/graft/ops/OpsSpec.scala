@@ -32,6 +32,29 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.filter(col("id") === 1).isEmpty)
   }
 
+  test("exactGroups bounds all_ids at maxIds while n stays the exact group size") {
+    val docs = (1L to 50L).map(i => (i, "the very same text")).toDF("doc_id", "text")
+    val g = Dedup.exactGroups(docs, col("text"), col("doc_id"), maxIds = 8)
+      .collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("n") == 50L) // exact count survives the cap
+    assert(g(0).getAs[Long]("keep_id") == 1L)
+    assert(g(0).getSeq[Long](3) == (1L to 8L)) // smallest maxIds ids, ascending
+    // the id sample is pruned map-side (partial WindowGroupLimit), so a
+    // 1e8-copy boilerplate group never materializes in one buffer. The
+    // plan check needs a relation whose row count is NOT statically <=
+    // the limit (the optimizer rightly skips the rewrite there), hence
+    // range() rather than the 50-row local relation above.
+    // text must be non-constant-foldable (a literal's hash folds away and
+    // the window loses its partition spec) yet identical across rows
+    val big = spark.range(0, 100000)
+      .select(col("id").as("doc_id"),
+        substring(concat(lit("same text"), col("id").cast("string")), 1, 9).as("text"))
+    val p = Dedup.exactGroups(big, col("text"), col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+  }
+
   test("minhash LSH surfaces the near-duplicate pair and not unrelated docs") {
     val cands = Dedup.minhashCandidates(corpus, "text", "id", minJaccard = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
