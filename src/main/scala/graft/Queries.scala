@@ -1063,7 +1063,9 @@ object Queries {
     // once per corpus under target/ and reuse (keyed by the sf dir name;
     // the testdata is deterministic) — so q40's time measures the PROBE,
     // the actual per-batch operation, not a rebuild per invocation
-    val idxDir = s"target/q40-idx-${new java.io.File(dir).getName}"
+    // path encodes corpus AND banding params: a param change must never
+    // silently reuse an index built under different banding
+    val idxDir = s"target/q40-idx-${new java.io.File(dir).getName}-k3p32b16"
     val fs = new org.apache.hadoop.fs.Path(idxDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(fs.makeQualified(

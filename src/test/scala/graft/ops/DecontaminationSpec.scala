@@ -68,4 +68,21 @@ class DecontaminationSpec extends AnyFunSuite {
     // threshold applies to the computed containment
     assert(pairs(train, eval, min = 0.75) == Map((1L, 10L) -> 1.0))
   }
+
+  test("containmentPairsH releases the capped path's shingle cache on close()") {
+    val h = Decontamination.containmentPairsH(
+      Seq(1L -> "a b c d e f", 2L -> "a b c d e f").toDF("doc_id", "text"),
+      Seq(10L -> "a b c d").toDF("doc_id", "text"),
+      "text", "doc_id", k = 3, minContainment = 0.0, maxShingleDf = 10)
+    assert(h.value.count() >= 1)
+    assert(h.handles.nonEmpty)
+    h.close()
+    h.handles.foreach(f => assert(
+      f.storageLevel == org.apache.spark.storage.StorageLevel.NONE))
+    // the uncapped path pins nothing
+    val h2 = Decontamination.containmentPairsH(
+      Seq(1L -> "a b c d e f").toDF("doc_id", "text"),
+      Seq(10L -> "a b c d").toDF("doc_id", "text"), "text", "doc_id")
+    assert(h2.handles.isEmpty)
+  }
 }
