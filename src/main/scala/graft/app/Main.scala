@@ -36,7 +36,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: Main (synth|validate|throughput|infer|stream|pipeline|dedup-stream) [--k v]...")
+      "usage: Main (synth|validate|throughput|infer|stream|pipeline|cut-spans|dedup-stream) [--k v]...")
     val cmd = args.head
     val opts = argMap(args.tail)
     val spark = session(s"graft-$cmd")
@@ -155,6 +155,29 @@ object Main {
         println(s"Pipeline: ${res.nInput} docs in -> $nKept kept -> $nPacks packs" +
           s" (budget ${cfg.budget} chars) at $out")
         res.unpersist()
+
+      case "cut-spans" =>
+        // exact-substring dedup (Lee et al.) over a documents table:
+        // mine keep-first duplicated spans at --window words granularity
+        // (windows hotter than --max-window-df are boilerplate and cut at
+        // EVERY copy), rewrite the texts with the spans removed, report
+        // the byte reduction
+        val input = opts("input")
+        val out = opts.getOrElse("out", s"$input-cut")
+        val window = opts.getOrElse("window", "8").toInt
+        val maxDf = opts.getOrElse("max-window-df", Long.MaxValue.toString).toLong
+        val docs = spark.read.parquet(input)
+        val spans = graft.ops.DupSpans.dupSpansKeepFirstH(
+          docs, "text", "doc_id", window, maxDf)
+        val cut = graft.ops.DupSpans.cutSpans(docs, "text", "doc_id", spans.value)
+          .withColumn("text", col("text_cut")).drop("text_cut")
+        cut.write.mode("overwrite").parquet(out)
+        spans.close()
+        val stats = spark.read.parquet(out)
+          .agg(count(lit(1)), sum(length(col("text")))).collect()(0)
+        val before = docs.agg(sum(length(col("text")))).collect()(0).getLong(0)
+        println(s"Cut duplicated spans (window=$window): ${stats.getLong(0)} docs, " +
+          s"$before -> ${stats.getLong(1)} chars at $out")
 
       case "dedup-stream" =>
         // near-dup mining over a growing documents directory
