@@ -73,15 +73,18 @@ object Pipeline {
     val exact = Dedup.dropExactDuplicates(train0, "text", "doc_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // the handle variant persists the banded signature table (one shingle
-    // pass feeds both self-join sides); Result.unpersist closes it — the
-    // round-2 shape traded the cache away (materialize=false) because the
-    // miner gave the caller no release handle
-    val miner = Dedup.minhashCandidatesH(exact, "text", "doc_id",
+    // the handle variants persist the banded signature tables (one
+    // shingle pass feeds both self-join sides) and the candidate pair
+    // set (feeds the touched-id prune + both rerank joins);
+    // Result.unpersist closes all of them — the round-2 shape traded the
+    // cache away (materialize=false) because the miner gave the caller
+    // no release handle
+    val mined = Dedup.minhashCandidatesH(exact, "text", "doc_id",
       bands = 16, minJaccard = 0.2)
-    val pairs = Dedup.ngramJaccard(exact,
-        miner.value.select("id_a", "id_b"),
-        "text", "doc_id")
+    val reranked = Dedup.ngramJaccardH(exact,
+      mined.value.select("id_a", "id_b"), "text", "doc_id")
+    val miner = Cached(mined.value, mined.handles ++ reranked.handles)
+    val pairs = reranked.value
       .filter(col("jaccard") >= cfg.jaccardThreshold)
 
     val canonical = exact.join(
