@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
   * Index layout: one parquet row per (band, band_hash, id, sig),
   * partitioned by `band` so a probe's per-band join prunes to its own
   * directory. Within a band the join key is band_hash — at warehouse scale
-  * write the index as a table BUCKETED by band_hash so the probe join
-  * co-locates without a shuffle of the index side; the parquet layout here
-  * keeps the same row shape, so that is a writer swap, not a redesign.
+  * use [[writeIndexBucketed]] — the same rows as a table bucketed by
+  * (band, band_hash), so the probe join co-locates without a shuffle of
+  * the index side once the batch outgrows the broadcast threshold.
   * Appends are plain parquet appends (the layout is append-stable).
   *
   * Giant buckets are capped by COMBINED size (index + batch rows per
@@ -44,6 +44,46 @@ object IncrementalDedup {
     signatureRows(df, textCol, idCol, shingleK, perms, bands)
       .write.mode(mode).option("partitionOverwriteMode", "dynamic")
       .partitionBy("band").parquet(path)
+
+  /** The warehouse-scale index layout: the same rows saved as a table
+    * BUCKETED (and sorted) by the probe join's exact key set
+    * (band, band_hash) — the bucketed scan reports that HashPartitioning,
+    * so the INDEX SIDE joins without any exchange and only the (small)
+    * batch side shuffles to match. (The keys must match the join's
+    * clustering exactly: spark.sql.requireAllClusterKeysForCoPartition
+    * defaults to true, so a band_hash-only bucket spec would NOT be
+    * reused.) This matters exactly when the batch outgrows the broadcast
+    * threshold: the plain-parquet layout reshuffles the whole index
+    * under it (pinned in IncrementalDedupSpec). Appends are
+    * `mode=append` (bucketed tables append bucket-stably). Requires a
+    * session catalog that persists table metadata across sessions for
+    * production (any metastore); same row shape as [[writeIndex]].
+    */
+  def writeIndexBucketed(df: DataFrame, textCol: String, idCol: String,
+                         table: String, buckets: Int = 64,
+                         shingleK: Int = 3, perms: Int = 32, bands: Int = 16,
+                         mode: String = "overwrite"): Unit =
+    signatureRows(df, textCol, idCol, shingleK, perms, bands)
+      .write.mode(mode)
+      .bucketBy(buckets, "band", "band_hash").sortBy("band", "band_hash")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** [[newDocCandidatesH]] against a BUCKETED index table (see
+    * [[writeIndexBucketed]]).
+    */
+  def newDocCandidatesBucketedH(spark: SparkSession, newDocs: DataFrame,
+                                textCol: String, idCol: String, table: String,
+                                shingleK: Int = 3, perms: Int = 32,
+                                bands: Int = 16, minJaccard: Double = 0.5,
+                                maxBucket: Int = 64,
+                                materialize: Boolean = true): Cached[DataFrame] = {
+    val rows = signatureRows(newDocs, textCol, idCol, shingleK, perms, bands)
+    val fresh = if (materialize) rows.persist() else rows
+    Cached(candidatePairs(fresh, Some(spark.table(table)),
+        perms, minJaccard, maxBucket),
+      if (materialize) Seq(fresh) else Nil)
+  }
 
   /** Candidate pairs from prepared signature rows: (fresh x index) +
     * (fresh x fresh), bucket-capped on the COMBINED bucket size. `fresh`
