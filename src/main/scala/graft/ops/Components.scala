@@ -16,10 +16,12 @@ import org.apache.spark.storage.StorageLevel
   * diameter rounds (a chain of borderline near-dups can be arbitrarily
   * long). Each round is two hash-shuffles of the (long, long) edge list —
   * no driver-side state, no collect; per-round frames are persisted and
-  * lineage-truncated (localCheckpoint) so the plan does not grow with the
-  * iteration count. On a cluster with a checkpoint dir configured,
-  * `spark.sparkContext.setCheckpointDir` + `checkpoint()` is the durable
-  * variant of the same truncation.
+  * lineage-truncated so the plan does not grow with the iteration count.
+  * `reliableCheckpoint = true` uses `checkpoint()` (requires
+  * `spark.sparkContext.setCheckpointDir`) — the durable truncation for
+  * long cluster runs where an executor loss must not recompute the whole
+  * round history; the default `localCheckpoint` keeps blocks on
+  * executors (fast, fine for a single box or short jobs).
   */
 object Components {
 
@@ -30,7 +32,11 @@ object Components {
     * keys through a dictionary first.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          reliableCheckpoint: Boolean = false): DataFrame = {
+    def truncate(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
     def canon(df: DataFrame): DataFrame =
       df.filter(col("u") =!= col("v"))
         .select(greatest(col("u"), col("v")).as("u"),
@@ -50,9 +56,8 @@ object Components {
         if (r.isNullAt(1)) BigInt(0) else BigInt(r.getDecimal(1).toBigInteger))
     }
 
-    var edges = canon(pairs.select(
-        col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
-      .localCheckpoint(true)
+    var edges = truncate(canon(pairs.select(
+        col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))))
     var edgesSig = sig(edges) // carried across rounds: one action per round
 
     var it = 0
@@ -85,7 +90,7 @@ object Components {
       // RDD and are reclaimed by the ContextCleaner once unreachable
       // (Dataset.unpersist would be a no-op on it); ss's explicit cache is
       // released here
-      edges = ss.localCheckpoint(true)
+      edges = truncate(ss)
       ss.unpersist()
       it += 1
     }

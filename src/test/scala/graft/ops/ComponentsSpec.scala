@@ -62,4 +62,18 @@ class ComponentsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.toSeq == Seq((3L, 3L, 3L, 9L), (100L, 2L, 100L, 101L)))
   }
+
+  test("reliableCheckpoint variant computes identical components") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 5L))
+      .toDF("id_a", "id_b")
+    def result(reliable: Boolean) =
+      Components.connectedComponents(pairs, "id_a", "id_b",
+          reliableCheckpoint = reliable)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(result(true) == result(false))
+    assert(result(true) == Set((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L)))
+  }
 }
