@@ -1063,17 +1063,20 @@ object Queries {
     // once per corpus under target/ and reuse (keyed by the sf dir name;
     // the testdata is deterministic) — so q40's time measures the PROBE,
     // the actual per-batch operation, not a rebuild per invocation
-    // path encodes corpus AND banding params: a param change must never
-    // silently reuse an index built under different banding
-    val idxDir = s"target/q40-idx-${new java.io.File(dir).getName}-k3p32b16"
+    // path encodes corpus AND banding params — DERIVED from the values
+    // the calls use, so a param change can never silently reuse an index
+    // built under different banding
+    val (shingleK, perms, bands) = (3, 32, 16)
+    val idxDir = s"target/q40-idx-${new java.io.File(dir).getName}" +
+      s"-k${shingleK}p${perms}b$bands"
     val fs = new org.apache.hadoop.fs.Path(idxDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(fs.makeQualified(
         new org.apache.hadoop.fs.Path(s"$idxDir/_SUCCESS"))))
       graft.ops.IncrementalDedup.writeIndex(base, "text", "doc_id", idxDir,
-        shingleK = 3, perms = 32, bands = 16)
+        shingleK, perms, bands)
     val cands = graft.ops.IncrementalDedup.newDocCandidates(spark, batch,
-      "text", "doc_id", idxDir, shingleK = 3, perms = 32, bands = 16,
+      "text", "doc_id", idxDir, shingleK, perms, bands,
       minJaccard = 0.2)
     rerankedPairs(docs, cands, 0.5)
   }

@@ -169,15 +169,21 @@ object Main {
         val docs = spark.read.parquet(input)
         val spans = graft.ops.DupSpans.dupSpansKeepFirstH(
           docs, "text", "doc_id", window, maxDf)
-        val cut = graft.ops.DupSpans.cutSpans(docs, "text", "doc_id", spans.value)
+        // before/after character counts ride the WRITE as an observation
+        // (the one-scan pattern) — no extra scan for the report, and
+        // coalesce keeps an empty/all-null corpus at 0 instead of a
+        // null-unboxing crash
+        val obs = org.apache.spark.sql.Observation("cut-spans")
+        graft.ops.DupSpans.cutSpans(docs, "text", "doc_id", spans.value)
+          .observe(obs, count(lit(1)).as("n"),
+            coalesce(sum(length(col("text"))), lit(0L)).as("before"),
+            coalesce(sum(length(col("text_cut"))), lit(0L)).as("after"))
           .withColumn("text", col("text_cut")).drop("text_cut")
-        cut.write.mode("overwrite").parquet(out)
+          .write.mode("overwrite").parquet(out)
         spans.close()
-        val stats = spark.read.parquet(out)
-          .agg(count(lit(1)), sum(length(col("text")))).collect()(0)
-        val before = docs.agg(sum(length(col("text")))).collect()(0).getLong(0)
-        println(s"Cut duplicated spans (window=$window): ${stats.getLong(0)} docs, " +
-          s"$before -> ${stats.getLong(1)} chars at $out")
+        val m = obs.get
+        println(s"Cut duplicated spans (window=$window): ${m("n")} docs, " +
+          s"${m("before")} -> ${m("after")} chars at $out")
 
       case "dedup-stream" =>
         // near-dup mining over a growing documents directory

@@ -37,6 +37,23 @@ object Components {
     def truncate(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
+    // reliable checkpoints are NOT reclaimed by the ContextCleaner
+    // (cleanCheckpoints defaults false) and survive application exit —
+    // without explicit deletion a 30-round run leaves 30 full edge-list
+    // copies in the checkpoint dir. Each round deletes the round it
+    // superseded AFTER the new checkpoint has materialized (eager=true);
+    // the FINAL round's files back the returned frame and stay (the
+    // caller owns the checkpoint dir's lifecycle).
+    def checkpointFile(df: DataFrame): Option[String] =
+      if (reliableCheckpoint)
+        org.apache.spark.sql.graftbridge.RddBridge.checkpointFile(df)
+      else None
+    def deleteCheckpoint(path: Option[String]): Unit =
+      path.foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(pairs.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(hp, true)
+      }
     def canon(df: DataFrame): DataFrame =
       df.filter(col("u") =!= col("v"))
         .select(greatest(col("u"), col("v")).as("u"),
@@ -89,9 +106,12 @@ object Components {
       // localCheckpoint'd frame — its blocks belong to the checkpointed
       // RDD and are reclaimed by the ContextCleaner once unreachable
       // (Dataset.unpersist would be a no-op on it); ss's explicit cache is
-      // released here
+      // released here, and a superseded RELIABLE checkpoint's files are
+      // deleted explicitly (the cleaner never touches them)
+      val superseded = checkpointFile(edges)
       edges = truncate(ss)
       ss.unpersist()
+      deleteCheckpoint(superseded)
       it += 1
     }
     require(converged || it < maxIter,

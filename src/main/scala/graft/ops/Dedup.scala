@@ -43,9 +43,25 @@ object Dedup {
     * also correctly skips when the child's row count is statically known
     * to be <= the limit — a tiny LocalRelation won't show the node.)
     */
-  def exactGroups(df: DataFrame, text: Column, id: Column,
-                  maxIds: Int = 256): DataFrame = {
-    val hashed = df.select(xxhash64(text).as("dup_hash"), id.as("__id"))
+  def exactGroupsH(df: DataFrame, text: Column, id: Column,
+                   maxIds: Int = 256,
+                   materialize: Boolean = true): Cached[DataFrame] = {
+    require(maxIds >= 1, "maxIds must be >= 1 (0 would drop every group)")
+    val threshold = df.sparkSession.sessionState.conf
+      .getConfString("spark.sql.optimizer.windowGroupLimitThreshold", "1000")
+      .toLong
+    require(maxIds < threshold,
+      s"maxIds ($maxIds) must stay below " +
+        s"spark.sql.optimizer.windowGroupLimitThreshold ($threshold): past " +
+        "it Catalyst skips the WindowGroupLimit rewrite and the id sample " +
+        "degrades to an unbounded single-partition window — raise the conf " +
+        "alongside maxIds if a bigger sample is really needed")
+    // persisted so the stats and sample subplans share one scan + hash
+    // pass (narrow (hash, id) rows)
+    val hashed0 = df.select(xxhash64(text).as("dup_hash"), id.as("__id"))
+    val hashed =
+      if (materialize) hashed0.persist(StorageLevel.MEMORY_AND_DISK)
+      else hashed0
     val stats = hashed.groupBy(col("dup_hash"))
       .agg(count(lit(1)).as("n"), min(col("__id")).as("keep_id"))
       .filter(col("n") > 1)
@@ -55,9 +71,15 @@ object Dedup {
       .filter(col("__rn") <= maxIds)
       .groupBy(col("dup_hash"))
       .agg(sort_array(collect_list(col("__id"))).as("all_ids"))
-    stats.join(sampled, "dup_hash")
-      .select(col("dup_hash"), col("n"), col("keep_id"), col("all_ids"))
+    Cached(stats.join(sampled, "dup_hash")
+      .select(col("dup_hash"), col("n"), col("keep_id"), col("all_ids")),
+      if (materialize) Seq(hashed) else Nil)
   }
+
+  /** Session-cache variant of [[exactGroupsH]]. */
+  def exactGroups(df: DataFrame, text: Column, id: Column,
+                  maxIds: Int = 256): DataFrame =
+    exactGroupsH(df, text, id, maxIds).value
 
   /** Exact dedup keeping the minimum id per content hash. Grouping by a
     * 64-bit content hash (not the text itself) keeps shuffle rows narrow;
@@ -248,7 +270,12 @@ object Dedup {
       Seq(p))
   }
 
-  /** Session-cache variant of [[ngramJaccardH]]. */
+  /** Session-cache variant of [[ngramJaccardH]]: the persisted pair set
+    * stays cached until `spark.catalog.clearCache()` (what Bench/Verify
+    * do between measurements) — long-lived sessions should use the
+    * handle variant. Note the cache also means a repeat run of the same
+    * rerank is faster than the first (warm-run protocol as usual).
+    */
   def ngramJaccard(df: DataFrame, pairs: DataFrame, textCol: String,
                    idCol: String, k: Int = 3): DataFrame =
     ngramJaccardH(df, pairs, textCol, idCol, k).value
