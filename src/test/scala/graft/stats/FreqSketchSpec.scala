@@ -27,16 +27,26 @@ class FreqSketchSpec extends AnyFunSuite {
     assert(sketch == exact)
   }
 
-  test("under purge pressure the dominant heavy hitters survive exactly") {
-    // 5000 copies of two dominant words + a 2000-word noise tail, sketch
-    // map far smaller than the vocabulary: Misra-Gries guarantees items
-    // above ~N/maxMapSize keep exact counts through purges
+  test("under purge pressure the dominant heavy hitters survive with bounded error") {
+    // 4000/2000 copies of two dominant words + a 2000-word noise tail,
+    // sketch map far smaller than the vocabulary. Misra-Gries guarantees
+    // IDENTIFYING items above ~N/maxMapSize; their estimates carry a
+    // purge offset that depends on merge order — like the HLL/KLL house
+    // rule, assert the guaranteed facts (identity, order, error bound),
+    // never exact sketch readouts (CLAUDE.md).
     val docs = spark.range(0, 2000)
       .select(lit("g").as("source"),
         concat_ws(" ", lit("alpha alpha beta"),
           concat(lit("noise"), col("id").cast("string"))).as("text"))
     val top = rows(Vocab.topKSketch(docs, "source", "text", 2, maxMapSize = 64))
-    assert(top.map(t => (t._3, t._4)) == Seq(("alpha", 4000L), ("beta", 2000L)))
+    assert(top.map(_._3) == Seq("alpha", "beta"))
+    val totalN = 8000.0 // 4 words x 2000 docs
+    val maxErr = (totalN / 64).toLong + 1 // N/maxMapSize error bound
+    val trueCounts = Map("alpha" -> 4000L, "beta" -> 2000L)
+    top.foreach { case (_, _, w, est) =>
+      assert(math.abs(est - trueCounts(w)) <= maxErr,
+        s"$w est $est vs true ${trueCounts(w)}")
+    }
   }
 
   test("sketch merges across partitions deterministically") {
