@@ -33,6 +33,18 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // 1-minute OS load average (no JVM attribution — whatever ELSE runs
+    // on the box shows here too): this box exhibits bursty external host
+    // load, and a reading taken during a burst is uniformly ~1.5-2x
+    // slower with LOW GC (BENCH/BASELINE.md round-3 contention note).
+    // Reporting load at start and end makes that attributable from the
+    // artifact alone.
+    def loadAvg(): Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadAvg()
+
     // warm the JIT/readers once with a tiny query
     try spark.read.parquet(s"$sfDir/nation.parquet").count()
     catch { case _: Throwable => }
@@ -118,7 +130,8 @@ object Bench {
     val runsJson = suiteRuns.map(r => f"${r._1}%.3f").mkString("[", ",", "]")
     val gcJson = suiteRuns.map(r => f"${r._2 / 1000.0}%.3f").mkString("[", ",", "]")
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","seq_per_sec":$seqPerSec%.0f,"suite_runs_sec":$runsJson,"suite_gc_sec":$gcJson,"heap_max_gb":$heapGb%.1f,"warm_gt_cold":$warmGtCold}""")
+    val loadEnd = loadAvg()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","seq_per_sec":$seqPerSec%.0f,"suite_runs_sec":$runsJson,"suite_gc_sec":$gcJson,"heap_max_gb":$heapGb%.1f,"warm_gt_cold":$warmGtCold,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f}""")
     spark.stop()
   }
 }
