@@ -86,7 +86,10 @@ object GraftFunctions {
       "freq_items_agg(word, maxMapSize) - heavy-hitters sketch (aggregate)",
       (args: Seq[Expression]) =>
         graft.stats.FreqItemsAgg(args(0),
-          if (args.length > 1) litInt(args(1), "maxMapSize") else 4096))
+          if (args.length > 1) litInt(args(1), "maxMapSize") else 4096)),
+    ("cut_spans",
+      "cut_spans(text, spans) - drop words inside (span_start, span_words) ranges",
+      (args: Seq[Expression]) => graft.ops.CutSpans(args(0), args(1)))
   )
 
   private def info(name: String, usage: String): ExpressionInfo =

@@ -70,4 +70,12 @@ class GraftFunctionsSpec extends AnyFunSuite {
       assert(sk.getN > 0)
     }
   }
+
+  test("cut_spans callable from SQL") {
+    val out = spark.sql(
+      """SELECT cut_spans('a b c d e',
+        |  array(named_struct('span_start', 1L, 'span_words', 2L))) AS cut"""
+        .stripMargin).collect()(0).getString(0)
+    assert(out == "a d e")
+  }
 }
