@@ -48,7 +48,15 @@ val forkHeap: String = sys.env.get("SPARK_GRAFT_XMX").getOrElse {
         case "t" => n.toLong * 1024 * 1024
       }
       if (mb > 16384) "16g" else requested
-    case _ => requested
+    case other =>
+      // unparseable (plain bytes or an exotic driver-emitted format):
+      // never pass through unclamped — that silently reintroduces the
+      // G1 ballooning this clamp exists to prevent. Plain byte counts
+      // are valid -Xmx values; anything else falls back to the clamp.
+      scala.util.Try(other.trim.toLong).toOption match {
+        case Some(b) if b > 0 && b <= 16L * 1024 * 1024 * 1024 => other.trim
+        case _ => "16g"
+      }
   }
 }
 javaOptions ++= jdk17AddOpens ++ Seq(

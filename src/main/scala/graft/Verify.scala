@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the session-cache query variants (ngramJaccard / exactGroups /
+      // dupSpans plain forms) persist corpus-sized tables; release them
+      // so no query's footprint (or warm cache) leaks into the next
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1,9 +1,10 @@
 package graft.ops
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -23,6 +24,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Null contract matches the twin under the caller's
   * `when(spans.isNull, text)` guard: evaluated only with non-null spans;
   * a null text yields "" (split(null) -> null, concat_ws skips null).
+  * Null span ELEMENTS are skipped (cover nothing) rather than NPE-ing;
+  * malformed span types are rejected at analysis (checkInputDataTypes).
   */
 case class CutSpans(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
@@ -31,6 +34,27 @@ case class CutSpans(left: Expression, right: Expression)
   // eval returns the (possibly null) text verbatim when spans is null —
   // the result can only be null when BOTH inputs can be
   override def nullable: Boolean = left.nullable && right.nullable
+
+  // the SQL-registered form accepts arbitrary expressions: reject
+  // non-string text / non-array<struct<long,long>> spans at ANALYSIS time
+  // instead of ClassCastException-ing per row in eval (int-typed span
+  // fields were a silent caller hazard — only the DupSpans.cutSpans API
+  // enforced the shape)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val spansOk = right.dataType match {
+      case ArrayType(st: StructType, _) =>
+        st.fields.length == 2 && st.fields.forall(_.dataType == LongType)
+      case _ => false
+    }
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a STRING text argument, got ${left.dataType.sql}")
+    else if (!spansOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires spans of type ARRAY<STRUCT<BIGINT, BIGINT>>, " +
+          s"got ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val spansV = right.eval(input)
@@ -50,17 +74,23 @@ case class CutSpans(left: Expression, right: Expression)
     var nMerged = 0
     if (nSpans > 0) {
       val iv = new Array[Long](nSpans * 2)
+      // null span elements are skipped (treated as covering nothing) —
+      // the graceful analog of the null-safe HOF twin, instead of an NPE
+      var nIv = 0
       var i = 0
       while (i < nSpans) {
-        val row = spans.getStruct(i, 2)
-        val st = row.getLong(0)
-        iv(2 * i) = st
-        iv(2 * i + 1) = st + row.getLong(1)
+        if (!spans.isNullAt(i)) {
+          val row = spans.getStruct(i, 2)
+          val st = row.getLong(0)
+          iv(2 * nIv) = st
+          iv(2 * nIv + 1) = st + row.getLong(1)
+          nIv += 1
+        }
         i += 1
       }
       // insertion sort of pairs by start (span counts are small)
       i = 1
-      while (i < nSpans) {
+      while (i < nIv) {
         val st = iv(2 * i); val en = iv(2 * i + 1)
         var j = i - 1
         while (j >= 0 && iv(2 * j) > st) {
@@ -70,9 +100,9 @@ case class CutSpans(left: Expression, right: Expression)
         iv(2 * (j + 1)) = st; iv(2 * (j + 1) + 1) = en
         i += 1
       }
-      merged = new Array[Long](nSpans * 2)
+      merged = new Array[Long](nIv * 2)
       i = 0
-      while (i < nSpans) {
+      while (i < nIv) {
         val st = iv(2 * i); val en = iv(2 * i + 1)
         if (nMerged > 0 && st <= merged(2 * (nMerged - 1) + 1)) {
           if (en > merged(2 * (nMerged - 1) + 1)) merged(2 * (nMerged - 1) + 1) = en

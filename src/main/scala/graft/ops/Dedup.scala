@@ -34,8 +34,8 @@ object Dedup {
     * plate page occurring 1e8 times) would build a 1e8-element array in
     * one aggregation buffer; instead the ids ride a `row_number <= maxIds`
     * window whose rank filter becomes a partial WindowGroupLimit — each
-    * map partition forwards at most maxIds rows per content (pinned in
-    * PlanSpec for the same shape in dropExactDuplicates). `n` stays the
+    * map partition forwards at most maxIds rows per content (the shape
+    * PlanSpec pins on the q08/q38 rank windows). `n` stays the
     * EXACT group size (its count is a plain partial-aggregated groupBy).
     * Keep maxIds below spark.sql.optimizer.windowGroupLimitThreshold
     * (1000 in this build) — past it Catalyst skips the rewrite and the
@@ -81,18 +81,51 @@ object Dedup {
                   maxIds: Int = 256): DataFrame =
     exactGroupsH(df, text, id, maxIds).value
 
-  /** Exact dedup keeping the minimum id per content hash. Grouping by a
-    * 64-bit content hash (not the text itself) keeps shuffle rows narrow;
-    * at corpus scale the collision probability is negligible and a
-    * verification re-check can compare texts within groups.
+  /** Exact dedup keeping the minimum id per content hash (idCol must be
+    * unique). Grouping by a 64-bit content hash (not the text itself)
+    * keeps shuffle rows narrow; at corpus scale the collision probability
+    * is negligible and a verification re-check can compare texts within
+    * groups.
+    *
+    * The keep decision is made entirely on the narrow (hash, id)
+    * projection: a groupBy (map-side partial aggregation — a mega-
+    * duplicated content collapses inside each input partition, no by-key
+    * window straggler) finds the duplicated hashes and their min id, a
+    * narrow-narrow join expands those groups to the NON-minimal ids, and
+    * the full frame anti-joins that drop set. On a mostly-unique corpus
+    * the drop set is small — AQE broadcasts it and the document bodies
+    * never enter ANY exchange (the round-3 shape shuffled the full row,
+    * text included, through a window over the hash: ~the whole corpus
+    * crossed the wire). Pinned in PlanSpec: no text column in any
+    * exchange of this plan.
+    *
+    * The narrow projection feeds two subplans (the group stats and the
+    * drop-id expansion); with `materialize` it is persisted (16 bytes/row)
+    * so the text column is scanned and hashed ONCE — close() the handle
+    * after the dedup output is consumed. With `materialize = false` the
+    * projection is recomputed per consumer (two map-side scans, zero
+    * cache footprint — still no payload shuffle either way).
     */
-  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window
-      .partitionBy(xxhash64(col(textCol)))
-      .orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+  def dropExactDuplicatesH(df: DataFrame, textCol: String, idCol: String,
+                           materialize: Boolean = true): Cached[DataFrame] = {
+    val hashed0 = df.select(xxhash64(col(textCol)).as("__h"), col(idCol).as("__id"))
+    val hashed =
+      if (materialize) hashed0.persist(StorageLevel.MEMORY_AND_DISK)
+      else hashed0
+    val dupGroups = hashed.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"), min(col("__id")).as("__keep"))
+      .filter(col("__n") > 1)
+      .select(col("__h"), col("__keep"))
+    val dropIds = hashed.join(dupGroups, "__h")
+      .filter(col("__id") =!= col("__keep"))
+      .select(col("__id"))
+    Cached(df.join(dropIds, col(idCol) === col("__id"), "left_anti"),
+      if (materialize) Seq(hashed) else Nil)
   }
+
+  /** Session-cache variant of [[dropExactDuplicatesH]]. */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    dropExactDuplicatesH(df, textCol, idCol).value
 
   /** MinHash signature: `perms` independent min-hashes over the shingle
     * set (standard construction). Delegates to the native [[MinHash64]]

@@ -70,8 +70,8 @@ object Pipeline {
       else (scrubbed.filter(!col("source").isin(cfg.evalSources: _*)),
         Some(scrubbed.filter(col("source").isin(cfg.evalSources: _*))))
 
-    val exact = Dedup.dropExactDuplicates(train0, "text", "doc_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val exactH = Dedup.dropExactDuplicatesH(train0, "text", "doc_id")
+    val exact = exactH.value.persist(StorageLevel.MEMORY_AND_DISK)
 
     // the handle variants persist the banded signature tables (one
     // shingle pass feeds both self-join sides) and the candidate pair
@@ -83,7 +83,8 @@ object Pipeline {
       bands = 16, minJaccard = 0.2)
     val reranked = Dedup.ngramJaccardH(exact,
       mined.value.select("id_a", "id_b"), "text", "doc_id")
-    val miner = Cached(mined.value, mined.handles ++ reranked.handles)
+    val miner = Cached(mined.value,
+      exactH.handles ++ mined.handles ++ reranked.handles)
     val pairs = reranked.value
       .filter(col("jaccard") >= cfg.jaccardThreshold)
 

@@ -207,12 +207,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("dropExactDuplicates gets a partial WindowGroupLimit (hot content is pruned map-side)") {
-    import spark.implicits._
-    val docs = (0 until 100).map(i => (i.toLong, s"text ${i % 7}")).toDF("id", "text")
-    val p = plan(graft.ops.Dedup.dropExactDuplicates(docs, "text", "id"))
-    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
-      s"rn==1 filter must prune per-content copies before the exchange:\n$p")
+  test("dropExactDuplicates: keep decision on (hash, id) only — text never enters an exchange") {
+    // the round-3 shape windowed over xxhash64(text) carrying the FULL
+    // row: a mostly-unique 100-TB corpus shuffled ~everything, bodies
+    // included. Now drops are decided on the narrow projection (groupBy =
+    // map-side partial agg, skew-safe) and the payload side anti-joins
+    // the small drop-id set.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val h = graft.ops.Dedup.dropExactDuplicatesH(docs, "text", "doc_id",
+      materialize = false)
+    val exchanges = exchangeOutputs(h.value)
+    exchanges.foreach { cols =>
+      assert(!cols.exists(_.contains("text")),
+        s"an exchange carries text: ${cols.mkString(",")}")
+    }
+    assert(!plan(h.value).contains("Window"),
+      "no by-key window anywhere in the dedup plan (hot-content straggler)")
   }
 
   test("bucketed packing key raises exchange parallelism above #sources") {

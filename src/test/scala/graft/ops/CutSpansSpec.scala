@@ -83,6 +83,26 @@ class CutSpansSpec extends AnyFunSuite {
     assert(row.getAs[Long]("id") == 1L && row.getAs[String]("text_cut") == "a d")
   }
 
+  test("SQL form: null span elements cover nothing; bad span types rejected at analysis") {
+    graft.GraftFunctions.register(spark)
+    // a null struct element must not NPE — it covers nothing
+    val out = spark.sql(
+      """SELECT cut_spans('a b c d',
+        |  array(named_struct('span_start', 1L, 'span_words', 2L),
+        |        CAST(NULL AS STRUCT<span_start: BIGINT, span_words: BIGINT>)))"""
+        .stripMargin).collect()(0).getString(0)
+    assert(out == "a d")
+    // int-typed span fields / non-array spans fail analysis, not eval
+    for (bad <- Seq(
+        "SELECT cut_spans('a b', array(named_struct('s', 1, 'w', 2)))",
+        "SELECT cut_spans('a b', 42)",
+        "SELECT cut_spans(7, array(named_struct('s', 1L, 'w', 2L)))")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(bad))
+      assert(e.getMessage.toLowerCase.contains("cut_spans") ||
+        e.getMessage.toLowerCase.contains("data type mismatch"))
+    }
+  }
+
   test("cut composes with keep-first spans end-to-end (kept copy survives)") {
     val phrase = "alpha bravo charlie delta echo foxtrot"
     val docs = Seq(
