@@ -1084,6 +1084,56 @@ object Queries {
   private val q40Sql = shingleJaccardPairsSql(0.5,
     extraWhere = " AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)")
 
+  /** Vocabulary top-k via the SKETCH path ([[graft.ops.Vocab.topKSketch]],
+    * Misra-Gries heavy hitters — the 100-TB shape: one bounded buffer per
+    * (partition, group) crosses the wire instead of the whole
+    * distinct-(group, word) count table). With maxMapSize (4096) far above
+    * the corpus vocabulary (~31 words/source) the sketch never purges, so
+    * every estimate is the exact count and the head equals the exact
+    * top-k — graded against the SAME SQL oracle as q38's exact path.
+    * FreqSketchSpec keeps the purge-pressure (approximate-regime) cases.
+    */
+  private def q41(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Vocab.topKSketch(tbl(spark, dir, "documents"), "source", "text", 5)
+      .select(col("group").as("source"), col("rank"), col("word"), col("n"))
+      .orderBy(col("source"), col("rank"))
+
+  /** Batch kNN over embeddings via multi-table RHP-LSH buckets
+    * ([[Similarity.bucketedKnnH]]): top-5 neighbors per vector among
+    * cosine >= 0.45, graded against the brute-force all-pairs per-id
+    * ranking. Blocking params (planes=4, tables=24, seed=7) are exactly
+    * q21's, whose green all-pairs grading proves full recall of every
+    * rounded-cosine >= 0.45 pair on this corpus; ranks then agree with
+    * the oracle because any candidate outranking a >= 0.45 survivor has a
+    * >= cosine and so is itself a recalled >= 0.45 pair (rounding is
+    * monotonic). Both engines rank on the RAW cosine (bit-identical
+    * float64 folds, the q32 parity) and threshold on the rounded value.
+    */
+  private def q42(spark: SparkSession, dir: String): DataFrame = {
+    val h = Similarity.bucketedKnnH(tbl(spark, dir, "embeddings"),
+      "embedding", "vec_id", k = 5, planes = 4, tables = 24, seed = 7L)
+    h.value
+      .select(col("id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+      .filter(col("cosine") >= 0.45)
+      .orderBy(col("id"), col("rank"))
+  }
+
+  private val q42Sql = {
+    val c = """list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+              |      CAST(b.embedding AS DOUBLE[]))""".stripMargin
+    s"""WITH p AS (SELECT a.vec_id AS id, b.vec_id AS neighbor_id, $c AS sim
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |  WHERE round($c, 6) >= 0.45),
+       |r AS (SELECT id, neighbor_id, sim,
+       |        row_number() OVER (PARTITION BY id
+       |                           ORDER BY sim DESC, neighbor_id) AS rank
+       |      FROM p)
+       |SELECT id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       |       round(sim, 6) AS cosine
+       |FROM r WHERE rank <= 5 ORDER BY id, rank""".stripMargin
+  }
+
   // ----------------------------------------------------------------- table
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -1126,6 +1176,8 @@ object Queries {
     "q37_pii_redaction"   -> QueryDef(q37, Some(q37Sql)),
     "q38_top_words"       -> QueryDef(q38, Some(q38Sql)),
     "q39_dup_spans"       -> QueryDef(q39, Some(q39Sql)),
-    "q40_incremental_dedup" -> QueryDef(q40, Some(q40Sql))
+    "q40_incremental_dedup" -> QueryDef(q40, Some(q40Sql)),
+    "q41_top_words_sketch" -> QueryDef(q41, Some(q38Sql)),
+    "q42_batch_knn"        -> QueryDef(q42, Some(q42Sql))
   )
 }
