@@ -43,7 +43,26 @@ object Bench {
       try java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
       catch { case _: Throwable => -1.0 }
-    val loadStart = loadAvg()
+
+    // contention guard: round 3's battery ran during an external host-load
+    // burst (load 3->6.3) and read uniformly ~1.5x slow. When the 1-min
+    // load at start exceeds the threshold, sleep and re-check a bounded
+    // number of times; every reading is recorded in the JSON so the
+    // artifact either proves a quiet measurement or carries the evidence
+    // the box never went quiet.
+    val loadThreshold = sys.env.getOrElse("SPARK_GRAFT_LOAD_THRESHOLD", "1.5").toDouble
+    val loadRetries = sys.env.getOrElse("SPARK_GRAFT_LOAD_RETRIES", "3").toInt
+    val loadSleepSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_SLEEP_SEC", "300").toInt
+    val loadAttempts = scala.collection.mutable.ArrayBuffer(loadAvg())
+    while (loadAttempts.last > loadThreshold &&
+        loadAttempts.size <= loadRetries) {
+      System.err.println(f"[bench] load ${loadAttempts.last}%.2f > " +
+        f"$loadThreshold%.2f — sleeping ${loadSleepSec}s " +
+        s"(attempt ${loadAttempts.size}/$loadRetries)")
+      Thread.sleep(loadSleepSec * 1000L)
+      loadAttempts += loadAvg()
+    }
+    val loadStart = loadAttempts.last
 
     // warm the JIT/readers once with a tiny query
     try spark.read.parquet(s"$sfDir/nation.parquet").count()
@@ -110,6 +129,18 @@ object Bench {
     val warmGtCold = results("suite_validate_warm") > results("suite_validate_cold")
     val seqPerSec = seqRows / results("suite_validate_warm")
 
+    // q40's index is a one-time persisted artifact, not part of the
+    // per-batch probe it models: build it OUTSIDE the battery and report
+    // the build separately, so the q40 entry always measures the probe
+    // (round 3 conflated the two whenever target/ was cold) and the JSON
+    // says whether this run built or reused.
+    var q40Built = false
+    results("q40_index_build") =
+      try time { q40Built = Queries.ensureQ40Index(spark, sfDir)._2 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] q40 index build failed: ${e.getMessage}"); -1.0
+      }
+
     Queries.defs.foreach { case (name, d) =>
       // a failed query records -1 (excluded from the total below), never
       // its time-to-failure — a partially failed run must not read clean
@@ -131,7 +162,8 @@ object Bench {
     val gcJson = suiteRuns.map(r => f"${r._2 / 1000.0}%.3f").mkString("[", ",", "]")
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     val loadEnd = loadAvg()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","seq_per_sec":$seqPerSec%.0f,"suite_runs_sec":$runsJson,"suite_gc_sec":$gcJson,"heap_max_gb":$heapGb%.1f,"warm_gt_cold":$warmGtCold,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f}""")
+    val loadJson = loadAttempts.map(l => f"$l%.2f").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","seq_per_sec":$seqPerSec%.0f,"suite_runs_sec":$runsJson,"suite_gc_sec":$gcJson,"heap_max_gb":$heapGb%.1f,"warm_gt_cold":$warmGtCold,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"load_attempts":$loadJson,"q40_index_built":$q40Built}""")
     spark.stop()
   }
 }

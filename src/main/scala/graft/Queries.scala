@@ -1055,26 +1055,55 @@ object Queries {
     * touching the batch: incremental mining must equal full mining on
     * exactly the pairs the batch could have introduced.
     */
-  private def q40(spark: SparkSession, dir: String): DataFrame = {
-    val docs = tbl(spark, dir, "documents")
-    val base = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-    // the index is the PERSISTED artifact of incremental dedup: build it
-    // once per corpus under target/ and reuse (keyed by the sf dir name;
-    // the testdata is deterministic) — so q40's time measures the PROBE,
-    // the actual per-batch operation, not a rebuild per invocation
-    // path encodes corpus AND banding params — DERIVED from the values
-    // the calls use, so a param change can never silently reuse an index
-    // built under different banding
-    val (shingleK, perms, bands) = (3, 32, 16)
-    val idxDir = s"target/q40-idx-${new java.io.File(dir).getName}" +
+  private val q40Banding = (3, 32, 16) // (shingleK, perms, bands)
+
+  /** The persisted-index path of q40's corpus. Keyed by the corpus
+    * CONTENT (canonical path + file length + mtime of documents.parquet),
+    * not just the sf-dir basename — a regenerated corpus or a different
+    * one with the same basename must never silently reuse a stale index —
+    * AND by the banding params, so a param change can never reuse an
+    * index built under different banding.
+    */
+  private[graft] def q40IndexDir(dir: String): String = {
+    val (shingleK, perms, bands) = q40Banding
+    val f = new java.io.File(s"$dir/documents.parquet")
+    // String.hashCode is stable by the Java spec — deterministic across
+    // JVMs, which is all a cache key needs
+    val fp = java.lang.Integer.toHexString(
+      s"${f.getCanonicalPath}|${f.length}|${f.lastModified}".hashCode)
+    s"target/q40-idx-${new java.io.File(dir).getName}-$fp" +
       s"-k${shingleK}p${perms}b$bands"
+  }
+
+  /** Build q40's base-corpus LSH index if this corpus doesn't already
+    * have one; returns (index path, whether a build ran). Bench calls
+    * this BEFORE its timed battery so the recorded q40 time measures the
+    * PROBE — the actual per-batch operation — never a conflated one-time
+    * index build (the round-3 reading mixed the two).
+    */
+  private[graft] def ensureQ40Index(spark: SparkSession, dir: String): (String, Boolean) = {
+    val (shingleK, perms, bands) = q40Banding
+    val idxDir = q40IndexDir(dir)
     val fs = new org.apache.hadoop.fs.Path(idxDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(fs.makeQualified(
-        new org.apache.hadoop.fs.Path(s"$idxDir/_SUCCESS"))))
-      graft.ops.IncrementalDedup.writeIndex(base, "text", "doc_id", idxDir,
-        shingleK, perms, bands)
+    val built =
+      if (fs.exists(fs.makeQualified(
+          new org.apache.hadoop.fs.Path(s"$idxDir/_SUCCESS")))) false
+      else {
+        val base = tbl(spark, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        graft.ops.IncrementalDedup.writeIndex(base, "text", "doc_id", idxDir,
+          shingleK, perms, bands)
+        true
+      }
+    (idxDir, built)
+  }
+
+  private def q40(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val (shingleK, perms, bands) = q40Banding
+    val (idxDir, _) = ensureQ40Index(spark, dir)
     val cands = graft.ops.IncrementalDedup.newDocCandidates(spark, batch,
       "text", "doc_id", idxDir, shingleK, perms, bands,
       minJaccard = 0.2)
