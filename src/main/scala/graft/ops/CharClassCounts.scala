@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
@@ -19,14 +19,38 @@ import org.apache.spark.unsafe.types.UTF8String
   * membership directly and multibyte characters can never match — exactly
   * the regex behavior. n_chars counts CODEPOINTS (every byte that is not
   * a UTF-8 continuation byte), matching Spark's length().
+  *
+  * Codegen: the walk lives in the static [[CharClassCounts.compute]];
+  * doGenCode emits a call to it, so the surrounding projection stays
+  * inside whole-stage codegen (measured vs the CodegenFallback build in
+  * BENCH/CODEGEN.md) while eval and the generated path share ONE body.
   */
-case class CharClassCounts(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+case class CharClassCounts(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = CharClassCounts.schema
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
+  override protected def nullSafeEval(input: Any): Any =
+    CharClassCounts.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.CharClassCounts.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): CharClassCounts =
+    copy(child = c)
+  override def prettyName: String = "char_class_counts"
+}
+
+object CharClassCounts {
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_alpha", IntegerType, nullable = false),
+    StructField("n_digit", IntegerType, nullable = false),
+    StructField("n_ws", IntegerType, nullable = false)))
+
+  /** One-walk census body shared by eval and the generated code (called
+    * via the Scala static forwarder from Janino).
+    */
+  def compute(s: UTF8String): InternalRow = {
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val len = s.numBytes
@@ -43,16 +67,4 @@ case class CharClassCounts(child: Expression)
     }
     InternalRow(chars, alpha, digit, ws)
   }
-
-  override protected def withNewChildInternal(c: Expression): CharClassCounts =
-    copy(child = c)
-  override def prettyName: String = "char_class_counts"
-}
-
-object CharClassCounts {
-  val schema: StructType = StructType(Seq(
-    StructField("n_chars", IntegerType, nullable = false),
-    StructField("n_alpha", IntegerType, nullable = false),
-    StructField("n_digit", IntegerType, nullable = false),
-    StructField("n_ws", IntegerType, nullable = false)))
 }

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -21,9 +21,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * DIVIDE_BY_ZERO there, which is hostile mid-pipeline; NaN compares
   * false against any similarity threshold, so degenerate vectors simply
   * never become candidates.
+  *
+  * Codegen: the walk lives in the static [[CosineSim.compute]] (boxed
+  * Double, null on mismatch); doGenCode calls it so the rerank-join
+  * projections stay inside whole-stage codegen (A/B in BENCH/CODEGEN.md).
   */
 case class CosineSim(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -33,9 +37,40 @@ case class CosineSim(left: Expression, right: Expression)
   private lazy val lFloat = isFloat(left)
   private lazy val rFloat = isFloat(right)
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      lFloat, rFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("cosRes")
+      s"""
+         |java.lang.Double $res =
+         |  graft.ops.CosineSim.compute($a, $b, $lFloat, $rFloat);
+         |if ($res == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $res.doubleValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+object CosineSim {
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** One-walk body shared by eval and the generated code. Boxed so the
+    * composed twin's null contract (unequal lengths / null elements)
+    * survives the static call.
+    */
+  def compute(x: ArrayData, y: ArrayData,
+              lFloat: Boolean, rFloat: Boolean): java.lang.Double = {
     val n = x.numElements()
     if (y.numElements() != n) return null
     var ab = 0.0; var aa = 0.0; var bb = 0.0
@@ -51,14 +86,4 @@ case class CosineSim(left: Expression, right: Expression)
     }
     ab / (math.sqrt(aa) * math.sqrt(bb))
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
-    copy(left = l, right = r)
-  override def prettyName: String = "cosine_sim"
-}
-
-object CosineSim {
-  def cosine_sim(a: Column, b: Column): Column =
-    ColumnBridge.column(CosineSim(
-      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

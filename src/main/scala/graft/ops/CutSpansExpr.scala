@@ -2,7 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.Platform
@@ -26,9 +27,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * a null text yields "" (split(null) -> null, concat_ws skips null).
   * Null span ELEMENTS are skipped (cover nothing) rather than NPE-ing;
   * malformed span types are rejected at analysis (checkInputDataTypes).
+  *
+  * Codegen: the walk lives in the static [[CutSpans.compute]]; doGenCode
+  * reproduces the asymmetric null contract around a call to it, keeping
+  * the cut projection inside whole-stage codegen (A/B in
+  * BENCH/CODEGEN.md) with eval and codegen sharing ONE body.
   */
 case class CutSpans(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = StringType
   // eval returns the (possibly null) text verbatim when spans is null —
@@ -64,9 +70,46 @@ case class CutSpans(left: Expression, right: Expression)
       return textV
     }
     if (textV == null) return UTF8String.EMPTY_UTF8
+    CutSpans.compute(textV.asInstanceOf[UTF8String],
+      spansV.asInstanceOf[ArrayData])
+  }
 
-    val s = textV.asInstanceOf[UTF8String]
-    val spans = spansV.asInstanceOf[ArrayData]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val spansGen = right.genCode(ctx)
+    val textGen = left.genCode(ctx)
+    val utf8 = classOf[UTF8String].getName
+    ev.copy(code =
+      code"""
+            |${spansGen.code}
+            |${textGen.code}
+            |boolean ${ev.isNull} = false;
+            |$utf8 ${ev.value} = null;
+            |if (${spansGen.isNull}) {
+            |  ${ev.isNull} = ${textGen.isNull};
+            |  ${ev.value} = ${textGen.value};
+            |} else if (${textGen.isNull}) {
+            |  ${ev.value} = $utf8.EMPTY_UTF8;
+            |} else {
+            |  ${ev.value} =
+            |    graft.ops.CutSpans.compute(${textGen.value}, ${spansGen.value});
+            |}
+          """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CutSpans =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cut_spans"
+}
+
+object CutSpans {
+
+  /** One-walk cut body shared by eval and the generated code: merge the
+    * spans into disjoint sorted intervals, then copy the uncovered words
+    * out in a single byte pass. Inputs must be non-null (the expression
+    * handles the null contract); null span ELEMENTS cover nothing.
+    */
+  def compute(s: UTF8String, spans: ArrayData): UTF8String = {
     val nSpans = spans.numElements()
 
     // merge spans into disjoint sorted [start, end) intervals over word idx
@@ -143,9 +186,4 @@ case class CutSpans(left: Expression, right: Expression)
     }
     UTF8String.fromBytes(out, 0, outLen)
   }
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): CutSpans =
-    copy(left = newLeft, right = newRight)
-  override def prettyName: String = "cut_spans"
 }
