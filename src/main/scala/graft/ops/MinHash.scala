@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -17,15 +17,40 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * for each shingle hash, derive the p-th permutation via a splitmix64
   * finalizer of (hash ^ seed_p) and min-reduce — ~perms*n integer mixes,
   * no per-element boxing or expression-tree walks.
+  *
+  * Codegen: the loop lives in the static [[MinHash64.compute]]; the
+  * plan-time seed table rides into the generated code as a reference
+  * object, so the signature projection stays inside whole-stage codegen
+  * (A/B in BENCH/CODEGEN.md).
   */
 case class MinHash64(child: Expression, perms: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   // golden-gamma odd constants per permutation, fixed at plan time
   private lazy val seeds: Array[Long] =
     Array.tabulate(perms)(p => 0x9E3779B97F4A7C15L * (2L * p + 1L))
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHash64.compute(input.asInstanceOf[ArrayData], seeds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.ops.MinHash64.compute($c, $seedsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "minhash64"
+}
+
+object MinHash64 {
+  /** Column API: minhash signature (array<bigint>, length `perms`) of an
+    * array<bigint> of shingle hashes.
+    */
+  def minhash(shingleHashes: Column, perms: Int = 32): Column =
+    ColumnBridge.column(MinHash64(ColumnBridge.expression(shingleHashes), perms))
 
   @inline private def mix(z0: Long): Long = {
     var z = z0
@@ -34,8 +59,9 @@ case class MinHash64(child: Expression, perms: Int)
     z ^ (z >>> 31)
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** One-loop body shared by eval and the generated code. */
+  def compute(arr: ArrayData, seeds: Array[Long]): ArrayData = {
+    val perms = seeds.length
     val mins = Array.fill(perms)(Long.MaxValue)
     val n = arr.numElements()
     var i = 0
@@ -53,16 +79,4 @@ case class MinHash64(child: Expression, perms: Int)
     }
     new GenericArrayData(mins)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): MinHash64 =
-    copy(child = newChild)
-  override def prettyName: String = "minhash64"
-}
-
-object MinHash64 {
-  /** Column API: minhash signature (array<bigint>, length `perms`) of an
-    * array<bigint> of shingle hashes.
-    */
-  def minhash(shingleHashes: Column, perms: Int = 32): Column =
-    ColumnBridge.column(MinHash64(ColumnBridge.expression(shingleHashes), perms))
 }

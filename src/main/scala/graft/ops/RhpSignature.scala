@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
@@ -22,9 +22,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * bit takes the otherwise(0L) branch -> signature 0; replicated here. A
   * null ARRAY yields null (the composed form yields 0L for that degenerate
   * case; callers treat both as "no bucket").
+  *
+  * Codegen: the loop lives in the static [[RhpSignature.compute]]; the
+  * plan-time prefix table rides into the generated code as a reference
+  * object (A/B in BENCH/CODEGEN.md).
   */
 case class RhpSignature(child: Expression, planes: Int, seed: Long)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   require(planes >= 1 && planes < 64, "planes must be in [1, 63]")
 
   override def dataType: DataType = LongType
@@ -36,8 +40,28 @@ case class RhpSignature(child: Expression, planes: Int, seed: Long)
   private lazy val prefix: Array[Long] =
     Array.tabulate(planes)(p => XXH64.hashInt(p, XXH64.hashLong(seed, 42L)))
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    RhpSignature.compute(input.asInstanceOf[ArrayData], prefix, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val prefixRef = ctx.addReferenceObj("rhpPrefix", prefix, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.ops.RhpSignature.compute($c, $prefixRef, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RhpSignature =
+    copy(child = newChild)
+  override def prettyName: String = "rhp_signature"
+}
+
+object RhpSignature {
+  /** Column API: 64-bit RHP-LSH bucket signature of a float/double array. */
+  def rhp_signature(vec: Column, planes: Int, seed: Long): Column =
+    ColumnBridge.column(RhpSignature(ColumnBridge.expression(vec), planes, seed))
+
+  /** One-loop body shared by eval and the generated code. */
+  def compute(arr: ArrayData, prefix: Array[Long], isFloat: Boolean): Long = {
+    val planes = prefix.length
     val n = arr.numElements()
     // composed-form quirk: sequence(0, size-1) on an EMPTY array yields
     // the descending [0,-1], zip_with pads with null x -> null folds ->
@@ -64,14 +88,4 @@ case class RhpSignature(child: Expression, planes: Int, seed: Long)
     }
     sig
   }
-
-  override protected def withNewChildInternal(newChild: Expression): RhpSignature =
-    copy(child = newChild)
-  override def prettyName: String = "rhp_signature"
-}
-
-object RhpSignature {
-  /** Column API: 64-bit RHP-LSH bucket signature of a float/double array. */
-  def rhp_signature(vec: Column, planes: Int, seed: Long): Column =
-    ColumnBridge.column(RhpSignature(ColumnBridge.expression(vec), planes, seed))
 }

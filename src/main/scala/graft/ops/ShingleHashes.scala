@@ -2,8 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.Platform
@@ -28,13 +28,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * sequence, so the byte scan is unicode-safe.
   */
 case class ShingleHashes(child: Expression, k: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   require(k >= 1, "shingle width k must be >= 1")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.ShingleHashes.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hashes"
+}
+
+object ShingleHashes {
+  /** Column API: array<bigint> of word k-shingle hashes of a string. */
+  def shingle_hashes(text: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), k))
+
+  /** One-pass body shared by eval and the generated code (codegen keeps
+    * the shingle projection inside whole-stage codegen; BENCH/CODEGEN.md).
+    */
+  def compute(s: UTF8String, k: Int): ArrayData = {
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val len = s.numBytes
@@ -68,14 +86,4 @@ case class ShingleHashes(child: Expression, k: Int)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
-    copy(child = newChild)
-  override def prettyName: String = "shingle_hashes"
-}
-
-object ShingleHashes {
-  /** Column API: array<bigint> of word k-shingle hashes of a string. */
-  def shingle_hashes(text: Column, k: Int): Column =
-    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), k))
 }

@@ -1,9 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -14,19 +13,40 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * (Charikar 2002, public algorithm).
   *
   * Implemented as a native Catalyst Expression (not a Scala UDF): null
-  * handling and input traversal stay inside the expression, and it
-  * composes with whole-stage-codegen'd neighbors (itself evaluated via
-  * CodegenFallback — a single virtual call per row, no row-to-Scala
-  * conversion of the array).
+  * handling and input traversal stay inside the expression. Codegen: the
+  * vote loop lives in the static [[SimHash64.compute]]; doGenCode calls
+  * it so the signature projection stays inside whole-stage codegen
+  * (A/B in BENCH/CODEGEN.md).
   */
 case class SimHash64(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = LongType
   def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64 {
+  /** Column API: simhash of an array<bigint> of feature hashes. */
+  def simhash(features: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(features)))
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.bit_count(
+      a.bitwiseXOR(b))
+
+  /** Vote-loop body shared by eval and the generated code. */
+  def compute(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
@@ -49,19 +69,4 @@ case class SimHash64(child: Expression)
     }
     sig
   }
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
-  override def prettyName: String = "simhash64"
-}
-
-object SimHash64 {
-  /** Column API: simhash of an array<bigint> of feature hashes. */
-  def simhash(features: Column): Column =
-    ColumnBridge.column(SimHash64(ColumnBridge.expression(features)))
-
-  /** Hamming distance between two 64-bit signatures. */
-  def hamming(a: Column, b: Column): Column =
-    org.apache.spark.sql.functions.bit_count(
-      a.bitwiseXOR(b))
 }

@@ -90,6 +90,27 @@ object CodegenBench {
       graft.ops.DupSpans.cutSpans(docs, "text", "doc_id", spans)
         .agg(sum(length(col("text_cut")))).collect()(0).getLong(0))
 
+    // the candidate-mining projections (q19/q20/q21/q33's signature
+    // stage). Checksums are decimal-summed: a raw sum of longs overflows
+    // under ANSI.
+    def decSum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,0)"))
+    best("shingle_hashes", nDocs)(
+      docs.select(graft.ops.ShingleHashes.shingle_hashes(col("text"), 3).as("sh"))
+        .agg(decSum(element_at(col("sh"), 1)), sum(size(col("sh"))))
+        .collect()(0).get(1))
+    best("shingle_minhash", nDocs)(
+      docs.select(graft.ops.MinHash64.minhash(
+          graft.ops.ShingleHashes.shingle_hashes(col("text"), 3), 32).as("sig"))
+        .agg(decSum(element_at(col("sig"), 1))).collect()(0).get(0))
+    best("shingle_simhash", nDocs)(
+      docs.select(graft.ops.SimHash64.simhash(
+          graft.ops.ShingleHashes.shingle_hashes(col("text"), 3)).as("sig"))
+        .agg(decSum(col("sig"))).collect()(0).get(0))
+    best("rhp_signature", nVecs)(
+      vecs.select(graft.ops.RhpSignature.rhp_signature(col("va"), 8, 7L).as("sig"))
+        .agg(decSum(col("sig"))).collect()(0).get(0))
+
     spans.unpersist()
     spark.stop()
   }
