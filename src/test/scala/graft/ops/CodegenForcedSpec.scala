@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** The doGenCode paths of the native expressions must actually COMPILE:
+  * Spark's default `spark.sql.codegen.fallback=true` silently swaps a
+  * Janino-failing plan to the interpreted path, so an ordinary spec
+  * would stay green while every production projection quietly loses
+  * whole-stage codegen. Here the expected values are computed first
+  * under the default config, then the same projections re-run with
+  * fallback DISABLED (a codegen failure throws) and compared.
+  */
+class CodegenForcedSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def docsDf: DataFrame = Seq(
+    (1L, "hello world 42 foo bar baz qux quux"),
+    (2L, "a  b   c"), // consecutive spaces -> empty words
+    (3L, "Mixed CASE text with 123 digits and\ttabs"),
+    (4L, ""),
+    (5L, "solo")).toDF("id", "text")
+
+  private def vecsDf: DataFrame = Seq(
+    (1L, Array(1.0f, 2.0f, -3.0f, 0.5f), Array(0.5f, -1.0f, 2.0f, 1.5f)),
+    (2L, Array(0.0f, 0.0f, 1.0f, 0.0f), Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(-1.0f, -2.0f, -3.0f, -4.0f), Array(1.0f, 2.0f, 3.0f, 4.0f)))
+    .toDF("id", "va", "vb")
+
+  /** Every codegen'd native expression in one projection per table. */
+  private def nativeProjections(): Seq[Seq[org.apache.spark.sql.Row]] = {
+    val spans = expr(
+      "array(named_struct('span_start', 1L, 'span_words', 2L))")
+    val d = docsDf.select(
+      TextOps.charClassCounts(col("text")).as("census"),
+      ColumnsForTest.cutSpans(col("text"), spans).as("cut"),
+      ShingleHashes.shingle_hashes(col("text"), 3).as("sh"),
+      MinHash64.minhash(ShingleHashes.shingle_hashes(col("text"), 3), 8).as("mh"),
+      SimHash64.simhash(ShingleHashes.shingle_hashes(col("text"), 3)).as("simh"))
+      .orderBy(col("census.n_chars"))
+    val v = vecsDf.select(
+      Similarity.cosine(col("va"), col("vb")).as("cos"),
+      Similarity.rhpSignature(col("va"), 6, 7L).as("rhp"))
+      .orderBy(col("rhp"))
+    Seq(d.collect().toSeq, v.collect().toSeq)
+  }
+
+  test("native expressions compile and agree under forced codegen") {
+    val expected = nativeProjections() // default config (fallback allowed)
+    val conf = spark.conf
+    val prevFallback = conf.getOption("spark.sql.codegen.fallback")
+    val prevFactory = conf.getOption("spark.sql.codegen.factoryMode")
+    val prevExcluded = conf.getOption("spark.sql.optimizer.excludedRules")
+    conf.set("spark.sql.codegen.fallback", "false")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    // without this, ConvertToLocalRelation evaluates the projection over
+    // the local Seq INTERPRETED at optimization time and the test would
+    // be vacuous — no generated code would ever compile
+    conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+    try {
+      val forced = nativeProjections() // a Janino failure now THROWS
+      assert(forced == expected,
+        "forced-codegen results must equal the default-config results")
+    } finally {
+      prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(
+        conf.set("spark.sql.codegen.fallback", _))
+      prevFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(
+        conf.set("spark.sql.codegen.factoryMode", _))
+      prevExcluded.fold(conf.unset("spark.sql.optimizer.excludedRules"))(
+        conf.set("spark.sql.optimizer.excludedRules", _))
+    }
+  }
+}
+
+/** Column constructor for the CutSpans expression (the public API routes
+  * through DupSpans.cutSpans, which wants a mined spans FRAME; this spec
+  * needs the raw expression over a literal spans column).
+  */
+private object ColumnsForTest {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def cutSpans(text: Column, spans: Column): Column =
+    ColumnBridge.column(CutSpans(
+      ColumnBridge.expression(text), ColumnBridge.expression(spans)))
+}
