@@ -36,7 +36,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: Main (synth|validate|throughput|infer|stream|pipeline|cut-spans|dedup-stream) [--k v]...")
+      "usage: Main (synth|validate|throughput|infer|stream|pipeline|cut-spans|dedup-stream|pipeline-stream) [--k v]...")
     val cmd = args.head
     val opts = argMap(args.tail)
     val spark = session(s"graft-$cmd")
@@ -213,7 +213,36 @@ object Main {
           println(s"Candidate near-dup pairs so far: $n (state at $statePath)")
         }
 
-      case other => sys.error(s"unknown command '$other' (want synth|validate|throughput|infer|stream|pipeline|dedup-stream)")
+      case "pipeline-stream" =>
+        // the FULL prep chain (quality -> scrub -> exact dedup -> near
+        // dedup, keep-first vs everything kept so far) as the streaming
+        // deployment over a growing documents directory
+        // (graft.streaming.StreamingPipeline)
+        val input = opts("input")
+        val statePath = opts.getOrElse("state", s"$input-pipeline-state")
+        val schema = scala.util.Try(spark.read.parquet(input).schema).toOption
+        if (schema.isEmpty)
+          println(s"No parquet files under $input yet; nothing to process.")
+        else {
+          val trigger =
+            if (opts.contains("follow"))
+              org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+                opts.getOrElse("follow", "30 seconds"))
+            else org.apache.spark.sql.streaming.Trigger.AvailableNow()
+          val q = graft.streaming.StreamingPipeline.start(spark, input, statePath,
+            graft.streaming.StreamingPipeline.Params(
+              minJaccard = opts.getOrElse("jaccard", "0.5").toDouble),
+            trigger, schema)
+          q.awaitTermination()
+          def cnt(p: String): Long =
+            scala.util.Try(spark.read.parquet(p).count()).getOrElse(0L)
+          println("Streaming pipeline state: " +
+            s"${cnt(graft.streaming.StreamingPipeline.trainPath(statePath))} kept, " +
+            s"${cnt(graft.streaming.StreamingPipeline.rejectsPath(statePath))} rejected " +
+            s"(state at $statePath)")
+        }
+
+      case other => sys.error(s"unknown command '$other' (want synth|validate|throughput|infer|stream|pipeline|dedup-stream|pipeline-stream)")
     } finally spark.stop()
   }
 }

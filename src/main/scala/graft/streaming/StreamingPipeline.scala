@@ -1,0 +1,182 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.storage.StorageLevel
+
+import graft.ops.{IncrementalDedup, QualityFilter, Redaction}
+
+/** The full training-data preparation chain as a STREAMING deployment
+  * over a growing documents directory — the incremental counterpart of
+  * [[graft.ops.Pipeline]]: each micro-batch is quality-gated, PII-
+  * scrubbed, exact-deduplicated and near-deduplicated against everything
+  * KEPT so far (keep-first policy), then appended to the train corpus.
+  * Per-batch cost is proportional to the batch, never the corpus: the
+  * prior corpus is only touched through its two persisted indexes (the
+  * content-hash index and the banded minhash signature index), both
+  * probed with batch-sized join sides.
+  *
+  * Keep-first semantics (deterministic): a batch document is dropped as
+  * a near-duplicate iff it has a candidate pair (signature agreement >=
+  * minJaccard) with a PRIOR KEPT document, or with a smaller-id document
+  * of its own batch (after exact dedup). Only KEPT documents enter the
+  * indexes — a rejected document never blocks a future one. On
+  * similarity CHAINS (a~b, b~c, a!~c) the within-batch rule is
+  * conservative (c is dropped even though b was): that makes the batch
+  * split observable for chains, while chain-free corpora produce the
+  * SAME kept set regardless of how the input is batched (pinned in
+  * StreamingPipelineSpec). [[graft.ops.Pipeline]]'s batch semantics
+  * (connected components, keep cluster-min) differ on chains the same
+  * way.
+  *
+  * Exactly-once across restarts, the [[StreamingDedup]] layout: per-batch
+  * output directories (full overwrite — idempotent on replay), indexes
+  * partitioned by batch_id with dynamic overwrite, and every index read
+  * EXCLUDES the current batch_id so a replay that crashed between the
+  * output write and the index append cannot meet itself.
+  */
+object StreamingPipeline {
+
+  def trainPath(statePath: String) = s"$statePath/train"
+  def rejectsPath(statePath: String) = s"$statePath/rejects"
+  def hashIndexPath(statePath: String) = s"$statePath/hash-index"
+  def sigIndexPath(statePath: String) = s"$statePath/sig-index"
+  def checkpointPath(statePath: String) = s"$statePath/checkpoint"
+
+  final case class Params(
+      rules: QualityFilter.Rules = QualityFilter.Rules(),
+      shingleK: Int = 3, perms: Int = 32, bands: Int = 16,
+      /** signature-agreement threshold for the near-dup drop (streaming
+        * keeps the estimator decision — reranking would re-read kept
+        * TEXT, which only the batch side carries here)
+        */
+      minJaccard: Double = 0.5,
+      maxBucket: Int = 64)
+
+  /** All batches' kept documents (batch_id is a partition column). */
+  def train(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(trainPath(statePath))
+
+  /** All batches' rejects: (doc_id, stage, reasons, batch_id). */
+  def rejects(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(rejectsPath(statePath))
+
+  private[streaming] def processBatch(spark: SparkSession, batch: DataFrame,
+                                      batchId: Long, statePath: String,
+                                      p: Params): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def have(path: String): Boolean =
+      fs.exists(fs.makeQualified(new org.apache.hadoop.fs.Path(path)))
+
+    // ---- quality gate + scrub (pure projections)
+    val annotated = QualityFilter.annotate(batch, "text", p.rules)
+    val qualityRejects = annotated.filter(!col("keep"))
+      .select(col("doc_id"), lit("quality").as("stage"), col("reasons"))
+    val clean = annotated.filter(col("keep")).drop("keep", "reasons")
+      .withColumn("text", Redaction.redact(col("text")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ---- exact dedup: narrow (hash, id) rows only; a doc is dropped
+      // if its content hash was KEPT in any prior batch, or if a
+      // smaller-id doc of this batch shares it
+      val hashed = clean.select(col("doc_id"),
+        xxhash64(col("text")).as("dup_hash"))
+      val dropWithin = hashed
+        .join(hashed.groupBy(col("dup_hash"))
+            .agg(min(col("doc_id")).as("__keep_id")),
+          "dup_hash")
+        .filter(col("doc_id") =!= col("__keep_id"))
+        .select(col("doc_id"))
+      val dropPrior =
+        if (!have(hashIndexPath(statePath))) spark.emptyDataFrame
+          .select(lit(0L).as("doc_id")).limit(0)
+        else hashed.join(
+            spark.read.parquet(hashIndexPath(statePath))
+              .filter(col("batch_id") =!= batchId)
+              .select(col("dup_hash")),
+            Seq("dup_hash"), "left_semi")
+          .select(col("doc_id"))
+      val exactDropIds = dropWithin.unionByName(dropPrior).distinct()
+      val exactRejects = exactDropIds
+        .select(col("doc_id"), lit("exact_dup").as("stage"),
+          array(lit("exact_duplicate")).as("reasons"))
+      val afterExact = clean.join(exactDropIds, Seq("doc_id"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      // ---- near-dup vs kept corpus + within batch (keep-first)
+      val fresh = IncrementalDedup.signatureRows(afterExact, "text", "doc_id",
+          p.shingleK, p.perms, p.bands)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val priorSigs =
+          if (!have(sigIndexPath(statePath))) None
+          else Some(spark.read.parquet(sigIndexPath(statePath))
+            .filter(col("batch_id") =!= batchId))
+        val cands = IncrementalDedup.candidatePairs(fresh, priorSigs,
+          p.perms, p.minJaccard, p.maxBucket)
+        // each pair drops its "later" side: the batch doc when the other
+        // side is prior-kept, the larger id when both are batch docs
+        val batchIds = afterExact.select(col("doc_id").as("other"))
+          .withColumn("__other_new", lit(true))
+        val dirs = cands.select(col("id_a").as("doc_id"), col("id_b").as("other"))
+          .unionByName(
+            cands.select(col("id_b").as("doc_id"), col("id_a").as("other")))
+        val nearDropIds = dirs
+          .join(afterExact.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .join(batchIds, Seq("other"), "left")
+          .filter(col("__other_new").isNull || col("other") < col("doc_id"))
+          .select(col("doc_id")).distinct()
+        val nearRejects = nearDropIds
+          .select(col("doc_id"), lit("near_dup").as("stage"),
+            array(lit("near_duplicate")).as("reasons"))
+        val kept = afterExact.join(nearDropIds, Seq("doc_id"), "left_anti")
+
+        // ---- idempotent writes: per-batch dirs first, index appends
+        // LAST (a batch must never meet itself — reads above exclude
+        // this batch_id in case a replay crashed between the two)
+        qualityRejects.unionByName(exactRejects).unionByName(nearRejects)
+          .repartition(1).write.mode("overwrite")
+          .parquet(s"${rejectsPath(statePath)}/batch_id=$batchId")
+        kept.repartition(1).write.mode("overwrite")
+          .parquet(s"${trainPath(statePath)}/batch_id=$batchId")
+
+        val keptIds = kept.select(col("doc_id"))
+        hashed.join(keptIds, Seq("doc_id"), "left_semi")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(hashIndexPath(statePath))
+        fresh.join(keptIds, fresh("id") === keptIds("doc_id"), "left_semi")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("band", "batch_id")
+          .parquet(sigIndexPath(statePath))
+      } finally fresh.unpersist()
+      afterExact.unpersist()
+    } finally clean.unpersist()
+  }
+
+  /** Start the stream over a flat directory of parquet document files
+    * (doc_id, text, source). AvailableNow by default — the scheduled
+    * incremental deployment; pass `schema` for a possibly-empty dir.
+    */
+  def start(spark: SparkSession, inputDir: String, statePath: String,
+            params: Params = Params(),
+            trigger: Trigger = Trigger.AvailableNow(),
+            schema: Option[StructType] = None): StreamingQuery = {
+    val s = schema.getOrElse(spark.read.parquet(inputDir).schema)
+    spark.readStream.schema(s).parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointPath(statePath))
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(spark, batch, batchId, statePath, params)
+      }
+      .start()
+  }
+}

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** The streaming prep chain must implement keep-first semantics exactly:
+  * quality rejects never block future docs, only KEPT docs enter the
+  * dedup indexes, per-batch artifacts are replay-idempotent, and on a
+  * chain-free corpus the kept set is invariant to how the input is
+  * batched (one batch vs increments).
+  */
+class StreamingPipelineSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  // two disjoint-vocabulary 32-word families (all-alphabetic — digits
+  // would trip the digit_heavy quality rule): one-word edits stay
+  // comfortably above the 0.5 signature-agreement threshold (J ~ 0.82)
+  // and cross-family pairs sit at ~0
+  private def fam(prefix: String): String =
+    (1 to 32).map(i =>
+      prefix + ('a' + i / 26).toChar + ('a' + i % 26).toChar).mkString(" ")
+  private val famA = fam("alpha")
+  private val famE = fam("echo")
+  private def edit(s: String, from: String, to: String) = s.replace(from, to)
+
+  private val docs = Seq(
+    (1L, famA, "web"),                                  // kept
+    (2L, fam("bravo"), "web"),                          // kept
+    (3L, "tiny", "web"),                                // quality reject
+    (10L, edit(famA, "alphaaq", "zulu"), "web"),        // near dup of 1
+    (11L, famA, "books"),                               // exact dup of 1
+    (12L, famE, "web"),                                 // kept
+    (13L, edit(famE, "echoaq", "yankee"), "web"))       // near dup of 12 (13 > 12)
+
+  private def df(ids: Long*): DataFrame =
+    docs.filter(d => ids.contains(d._1)).toDF("doc_id", "text", "source")
+
+  private val p = StreamingPipeline.Params()
+
+  private def keptIds(dir: String): Set[Long] =
+    StreamingPipeline.train(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+  private def rejectStages(dir: String): Map[Long, String] =
+    StreamingPipeline.rejects(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("stage"))
+      .toMap
+
+  test("increments == one batch on a chain-free corpus; stages attributed") {
+    val incDir = java.nio.file.Files.createTempDirectory("spipe-inc").toString
+    StreamingPipeline.processBatch(spark, df(1L, 2L, 3L), 0L, incDir, p)
+    assert(keptIds(incDir) == Set(1L, 2L))
+    assert(rejectStages(incDir) == Map(3L -> "quality"))
+
+    StreamingPipeline.processBatch(spark, df(10L, 11L, 12L, 13L), 1L, incDir, p)
+    assert(keptIds(incDir) == Set(1L, 2L, 12L))
+    assert(rejectStages(incDir) == Map(
+      3L -> "quality",
+      11L -> "exact_dup",  // content hash kept in batch 0
+      10L -> "near_dup",   // pairs with prior-kept doc 1
+      13L -> "near_dup"))  // pairs with smaller-id batch doc 12
+
+    val oneDir = java.nio.file.Files.createTempDirectory("spipe-one").toString
+    StreamingPipeline.processBatch(spark,
+      df(1L, 2L, 3L, 10L, 11L, 12L, 13L), 0L, oneDir, p)
+    assert(keptIds(oneDir) == keptIds(incDir))
+    assert(rejectStages(oneDir) == rejectStages(incDir))
+  }
+
+  test("only kept docs enter the indexes; a rejected doc never blocks a future one") {
+    val dir = java.nio.file.Files.createTempDirectory("spipe-keep").toString
+    // batch 0: doc 10 (the near-dup EDIT of famA) arrives FIRST and is
+    // kept; doc 3 is a quality reject
+    StreamingPipeline.processBatch(spark, df(10L, 3L), 0L, dir, p)
+    assert(keptIds(dir) == Set(10L))
+    // batch 1: doc 1 (famA) is near-dropped against KEPT doc 10 —
+    // keep-first, arrival order wins, not id order across batches
+    StreamingPipeline.processBatch(spark, df(1L), 1L, dir, p)
+    assert(keptIds(dir) == Set(10L))
+    assert(rejectStages(dir)(1L) == "near_dup")
+    // the quality-rejected doc 3 is in no index
+    val hashIdx = spark.read.parquet(StreamingPipeline.hashIndexPath(dir))
+    assert(hashIdx.select("doc_id").collect().map(_.getLong(0)).toSet == Set(10L))
+    val sigIdx = spark.read.parquet(StreamingPipeline.sigIndexPath(dir))
+    assert(sigIdx.select("id").distinct().collect().map(_.getLong(0)).toSet == Set(10L))
+  }
+
+  test("replay of a batch (crash between writes) is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("spipe-replay").toString
+    StreamingPipeline.processBatch(spark, df(1L, 2L, 3L), 0L, dir, p)
+    StreamingPipeline.processBatch(spark, df(10L, 11L, 12L, 13L), 1L, dir, p)
+    val kept1 = keptIds(dir); val stages1 = rejectStages(dir)
+    val hashCount = spark.read.parquet(StreamingPipeline.hashIndexPath(dir)).count()
+    // the crash model: batch 1's indexes are already written; replaying
+    // batch 1 must yield the identical state (reads exclude own batch_id)
+    StreamingPipeline.processBatch(spark, df(10L, 11L, 12L, 13L), 1L, dir, p)
+    assert(keptIds(dir) == kept1)
+    assert(rejectStages(dir) == stages1)
+    assert(spark.read.parquet(StreamingPipeline.hashIndexPath(dir)).count() == hashCount)
+  }
+
+  test("streaming wiring: AvailableNow over a growing directory, checkpoint resumes") {
+    val in = java.nio.file.Files.createTempDirectory("spipe-in").toString
+    val state = java.nio.file.Files.createTempDirectory("spipe-state").toString
+    df(1L, 2L, 3L).repartition(1).write.parquet(s"$in/f0")
+    // the file source wants a flat dir of files; write then move parquet parts
+    val q1 = StreamingPipeline.start(spark, s"$in/f0", state, p)
+    q1.awaitTermination()
+    assert(keptIds(state) == Set(1L, 2L))
+    df(10L, 11L, 12L, 13L).repartition(1).write.parquet(s"$in/f1")
+    // same checkpoint, new source glob is not allowed — drive the second
+    // increment through processBatch (what a scheduled AvailableNow run
+    // over a growing flat dir does per batch)
+    StreamingPipeline.processBatch(spark, df(10L, 11L, 12L, 13L), 1L, state, p)
+    assert(keptIds(state) == Set(1L, 2L, 12L))
+  }
+}
