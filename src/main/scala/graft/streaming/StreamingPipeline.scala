@@ -68,8 +68,19 @@ object StreamingPipeline {
                                       p: Params): Unit = {
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def have(path: String): Boolean =
-      fs.exists(fs.makeQualified(new org.apache.hadoop.fs.Path(path)))
+    // check for actual CONTENT, not bare directory existence: a batch
+    // whose kept set is empty leaves the index dir present but file-less
+    // (a partitioned write of an empty frame emits nothing — not even a
+    // _SUCCESS marker, and dynamic-partition commits don't write one at
+    // the root either), and an existence-only check would feed an
+    // unreadable empty dir to the next batch's read
+    def have(path: String): Boolean = {
+      val p = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+      fs.exists(p) && fs.listStatus(p).exists { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
 
     // ---- quality gate + scrub (pure projections)
     val annotated = QualityFilter.annotate(batch, "text", p.rules)
@@ -137,11 +148,18 @@ object StreamingPipeline {
         // ---- idempotent writes: per-batch dirs first, index appends
         // LAST (a batch must never meet itself — reads above exclude
         // this batch_id in case a replay crashed between the two)
-        qualityRejects.unionByName(exactRejects).unionByName(nearRejects)
-          .repartition(1).write.mode("overwrite")
-          .parquet(s"${rejectsPath(statePath)}/batch_id=$batchId")
-        kept.repartition(1).write.mode("overwrite")
-          .parquet(s"${trainPath(statePath)}/batch_id=$batchId")
+        // natural partitioning — NEVER repartition(1) a corpus-sized
+        // output (the 1M-doc soak run OOMed the single write task). But
+        // an EMPTY frame written naturally emits zero part files and the
+        // root becomes unreadable, so only that case forces one (empty,
+        // schema-bearing) file — pinned by the all-rejected-batch spec.
+        def writeBatchDir(df: DataFrame, path: String): Unit =
+          (if (df.isEmpty) df.repartition(1) else df)
+            .write.mode("overwrite").parquet(path)
+        writeBatchDir(
+          qualityRejects.unionByName(exactRejects).unionByName(nearRejects),
+          s"${rejectsPath(statePath)}/batch_id=$batchId")
+        writeBatchDir(kept, s"${trainPath(statePath)}/batch_id=$batchId")
 
         val keptIds = kept.select(col("doc_id"))
         hashed.join(keptIds, Seq("doc_id"), "left_semi")

@@ -101,6 +101,16 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(StreamingPipeline.hashIndexPath(dir)).count() == hashCount)
   }
 
+  test("an all-rejected first batch leaves train/rejects roots readable") {
+    val dir = java.nio.file.Files.createTempDirectory("spipe-empty").toString
+    StreamingPipeline.processBatch(spark, df(3L), 0L, dir, p) // quality reject
+    assert(keptIds(dir) == Set.empty)
+    assert(rejectStages(dir) == Map(3L -> "quality"))
+    // and a later batch still lands normally
+    StreamingPipeline.processBatch(spark, df(1L), 1L, dir, p)
+    assert(keptIds(dir) == Set(1L))
+  }
+
   test("streaming wiring: AvailableNow over a growing directory, checkpoint resumes") {
     val in = java.nio.file.Files.createTempDirectory("spipe-in").toString
     val state = java.nio.file.Files.createTempDirectory("spipe-state").toString
