@@ -207,6 +207,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q41 sketch vocabulary: bounded sketch buffers cross the wire, never a (group, word) count table") {
+    val p = plan(Queries.defs.toMap.apply("q41_top_words_sketch")
+      .fn(spark, "/root/testdata/sf0.001"))
+    assert(p.contains("partial_freq_items_agg"),
+      s"the Misra-Gries sketch must partially aggregate map-side:\n$p")
+    // the exact path's scale bottleneck is the distinct-(group, word)
+    // exchange; the sketch path must not have one — its only hash
+    // exchange is keyed by the group alone
+    assert(!p.contains("hashpartitioning(group#") ||
+      !"hashpartitioning\\([^)]*word".r.findFirstIn(p).isDefined,
+      s"a (group, word) exchange crept back in:\n$p")
+  }
+
+  test("q42 batch kNN: rank<=k pruned by a partial WindowGroupLimit before the exchange") {
+    val p = plan(Queries.defs.toMap.apply("q42_batch_knn")
+      .fn(spark, "/root/testdata/sf0.001"))
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"per-id top-k must prune map-side:\n$p")
+  }
+
   test("dropExactDuplicates: keep decision on (hash, id) only — text never enters an exchange") {
     // the round-3 shape windowed over xxhash64(text) carrying the FULL
     // row: a mostly-unique 100-TB corpus shuffled ~everything, bodies
