@@ -63,7 +63,7 @@ object StreamingPipeline {
   def rejects(spark: SparkSession, statePath: String): DataFrame =
     spark.read.parquet(rejectsPath(statePath))
 
-  private[streaming] def processBatch(spark: SparkSession, batch: DataFrame,
+  private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
                                       batchId: Long, statePath: String,
                                       p: Params): Unit = {
     val fs = new org.apache.hadoop.fs.Path(statePath)
