@@ -119,7 +119,10 @@ object Dedup {
     val dropIds = hashed.join(dupGroups, "__h")
       .filter(col("__id") =!= col("__keep"))
       .select(col("__id"))
-    Cached(df.join(dropIds, col(idCol) === col("__id"), "left_anti"),
+    // frame-qualified join refs: an input that itself carries a "__id"
+    // column must not make the anti-join condition ambiguous (the same
+    // collision class as round-2's cutSpans idCol bug)
+    Cached(df.join(dropIds, df(idCol) === dropIds("__id"), "left_anti"),
       if (materialize) Seq(hashed) else Nil)
   }
 

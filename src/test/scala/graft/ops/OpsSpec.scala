@@ -32,6 +32,17 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.filter(col("id") === 1).isEmpty)
   }
 
+  test("dropExactDuplicates survives an input that already has a __id column") {
+    import spark.implicits._
+    // the internal narrow projection uses __h/__id names — a caller
+    // carrying them must not make the anti-join ambiguous
+    val corpus = Seq((1L, "same", 9L), (2L, "same", 8L), (3L, "other", 7L))
+      .toDF("id", "text", "__id")
+    val kept = Dedup.dropExactDuplicates(corpus, "text", "id")
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(kept.columns.toSeq == Seq("id", "text", "__id"))
+  }
+
   test("exactGroups bounds all_ids at maxIds while n stays the exact group size") {
     val docs = (1L to 50L).map(i => (i, "the very same text")).toDF("doc_id", "text")
     val g = Dedup.exactGroups(docs, col("text"), col("doc_id"), maxIds = 8)
