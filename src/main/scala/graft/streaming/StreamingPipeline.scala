@@ -135,11 +135,15 @@ object StreamingPipeline {
         val dirs = cands.select(col("id_a").as("doc_id"), col("id_b").as("other"))
           .unionByName(
             cands.select(col("id_b").as("doc_id"), col("id_a").as("other")))
+        // persisted: this id frame feeds THREE actions (the rejects
+        // write, the empty-check, the kept write) — without the persist
+        // the whole candidate-mining join would re-run per action
         val nearDropIds = dirs
           .join(afterExact.select(col("doc_id")), Seq("doc_id"), "left_semi")
           .join(batchIds, Seq("other"), "left")
           .filter(col("__other_new").isNull || col("other") < col("doc_id"))
           .select(col("doc_id")).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val nearRejects = nearDropIds
           .select(col("doc_id"), lit("near_dup").as("stage"),
             array(lit("near_duplicate")).as("reasons"))
@@ -174,6 +178,7 @@ object StreamingPipeline {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("band", "batch_id")
           .parquet(sigIndexPath(statePath))
+        nearDropIds.unpersist()
       } finally fresh.unpersist()
       afterExact.unpersist()
     } finally clean.unpersist()
