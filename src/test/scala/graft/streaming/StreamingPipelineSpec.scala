@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SharedSpark
@@ -109,6 +110,83 @@ class StreamingPipelineSpec extends AnyFunSuite {
     // and a later batch still lands normally
     StreamingPipeline.processBatch(spark, df(1L), 1L, dir, p)
     assert(keptIds(dir) == Set(1L))
+  }
+
+  test("fuzz: batched keep-first equals an independent sequential fold") {
+    // differential oracle: collect every doc's minhash signature ONCE
+    // (the shared similarity kernel), then fold the batches in plain
+    // Scala implementing the documented semantics — candidate iff a
+    // shared LSH band AND signature agreement >= minJaccard; drop iff
+    // candidate with prior-kept, or with a smaller-id doc of the same
+    // batch after exact dedup. Everything else (index probes, replay
+    // layout, join shapes) is what the fuzz actually exercises.
+    val perms = 32; val bands = 16; val rpb = perms / bands
+    for (seed <- Seq(11, 42, 97)) {
+      val rng = new scala.util.Random(seed)
+      def w(i: Int) = "w" + ('a' + i / 676 % 26).toChar +
+        ('a' + i / 26 % 26).toChar + ('a' + i % 26).toChar
+      // 8 disjoint 24-word families; per family: a base doc, maybe an
+      // exact copy, maybe 1-2 one-word edits, plus some unique docs
+      val texts = scala.collection.mutable.ArrayBuffer[String]()
+      for (f <- 0 until 8) {
+        val words = (0 until 24).map(i => w(f * 30 + i))
+        val base = words.mkString(" ")
+        texts += base
+        if (rng.nextBoolean()) texts += base
+        for (v <- 0 until rng.nextInt(3))
+          texts += words.updated(rng.nextInt(24), w(f * 30 + 25 + v))
+            .mkString(" ")
+      }
+      val docs = texts.zipWithIndex.map { case (t, i) => (i + 1L, t, "s") }
+      val ids = rng.shuffle(docs.map(_._1).toList)
+      val batches = ids.grouped(math.max(1, ids.size / 3 + 1)).toSeq
+
+      // signature kernel, computed once via the production expressions
+      val sigMap = docs.toSeq.toDF("doc_id", "text", "source")
+        .select(col("doc_id"), graft.ops.Dedup.minhashSignature(
+          graft.ops.TextOps.shingles(col("text"), 3), perms).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      val textMap = docs.map(d => d._1 -> d._2).toMap
+      def cand(a: Long, b: Long): Boolean = {
+        val (x, y) = (sigMap(a), sigMap(b))
+        val shareBand = (0 until bands).exists(bd =>
+          (0 until rpb).forall(k => x(bd * rpb + k) == y(bd * rpb + k)))
+        shareBand &&
+          (0 until perms).count(p => x(p) == y(p)) / perms.toDouble >= p.minJaccard
+      }
+
+      // independent sequential fold
+      var kept = Vector.empty[Long]
+      val oracleStage = scala.collection.mutable.Map[Long, String]()
+      for (batch <- batches) {
+        val sorted = batch.sorted
+        var afterExact = Vector.empty[Long]
+        for (i <- sorted) {
+          val dupPrior = kept.exists(j => textMap(j) == textMap(i))
+          val dupWithin = sorted.exists(j => j < i && textMap(j) == textMap(i))
+          if (dupPrior || dupWithin) oracleStage(i) = "exact_dup"
+          else afterExact :+= i
+        }
+        var keptBatch = Vector.empty[Long]
+        for (i <- afterExact) {
+          val nearPrior = kept.exists(j => cand(i, j))
+          val nearWithin = afterExact.exists(j => j < i && cand(i, j))
+          if (nearPrior || nearWithin) oracleStage(i) = "near_dup"
+          else keptBatch :+= i
+        }
+        kept ++= keptBatch
+      }
+
+      // the system under test
+      val dir = java.nio.file.Files.createTempDirectory(s"spipe-fuzz$seed").toString
+      batches.zipWithIndex.foreach { case (batch, b) =>
+        val bdf = docs.filter(d => batch.contains(d._1)).toSeq
+          .toDF("doc_id", "text", "source")
+        StreamingPipeline.processBatch(spark, bdf, b.toLong, dir, p)
+      }
+      assert(keptIds(dir) == kept.toSet, s"seed $seed kept mismatch")
+      assert(rejectStages(dir) == oracleStage.toMap, s"seed $seed stages mismatch")
+    }
   }
 
   test("streaming wiring: AvailableNow over a growing directory, checkpoint resumes") {
