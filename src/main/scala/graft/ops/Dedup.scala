@@ -179,8 +179,9 @@ object Dedup {
     // survive into the pair-dedup shuffle
     val l = pruned.value.alias("l")
     val r = pruned.value.alias("r")
-    val agree = size(filter(zip_with(col("l.sig"), col("r.sig"),
-      (a, b) => a === b), x => x))
+    // native agreement count: the composed zip_with/filter twin pays an
+    // interpreted lambda per position per candidate pair (SigAgree doc)
+    val agree = SigAgree.sig_agree(col("l.sig"), col("r.sig"))
     pruned.copy(value = l.join(r,
         col("l.band") === col("r.band") &&
           col("l.band_hash") === col("r.band_hash") &&

@@ -110,8 +110,10 @@ object IncrementalDedup {
       .select(col("band"), col("band_hash"))
     val freshOk = fresh.join(okBuckets, Seq("band", "band_hash"))
 
-    def agree = size(filter(zip_with(col("n.sig"), col("o.sig"),
-      (a, b) => a === b), x => x)) / lit(perms.toDouble)
+    // native agreement count (SigAgree) — the composed zip_with twin
+    // pays an interpreted lambda per position per candidate pair
+    def agree = SigAgree.sig_agree(col("n.sig"), col("o.sig")) /
+      lit(perms.toDouble)
 
     // fresh x fresh within the batch
     val vsNew = freshOk.alias("n").join(freshOk.alias("o"),

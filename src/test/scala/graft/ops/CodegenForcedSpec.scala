@@ -40,7 +40,10 @@ class CodegenForcedSpec extends AnyFunSuite {
       ColumnsForTest.cutSpans(col("text"), spans).as("cut"),
       ShingleHashes.shingle_hashes(col("text"), 3).as("sh"),
       MinHash64.minhash(ShingleHashes.shingle_hashes(col("text"), 3), 8).as("mh"),
-      SimHash64.simhash(ShingleHashes.shingle_hashes(col("text"), 3)).as("simh"))
+      SimHash64.simhash(ShingleHashes.shingle_hashes(col("text"), 3)).as("simh"),
+      SigAgree.sig_agree(
+        MinHash64.minhash(ShingleHashes.shingle_hashes(col("text"), 3), 8),
+        MinHash64.minhash(ShingleHashes.shingle_hashes(col("text"), 2), 8)).as("agree"))
       .orderBy(col("census.n_chars"))
     val v = vecsDf.select(
       Similarity.cosine(col("va"), col("vb")).as("cos"),

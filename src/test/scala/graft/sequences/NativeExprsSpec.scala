@@ -107,6 +107,34 @@ class NativeExprsSpec extends AnyFunSuite {
     assert(deg(2).getDouble(0).isNaN)
   }
 
+  test("SigAgree is bit-identical to the composed zip_with/filter/size formula") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val rows: Seq[(Seq[Long], Seq[Long])] = (0 until 200).map { _ =>
+      val n = 1 + rng.nextInt(40)
+      val m = if (rng.nextBoolean()) n else 1 + rng.nextInt(40) // unequal too
+      val a = Seq.fill(n)(rng.nextInt(6).toLong)
+      val b = Seq.fill(m)(rng.nextInt(6).toLong)
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq.empty[Long], Seq.empty[Long]))
+    val df = rows.toDF("a", "b")
+    val mism = df
+      .withColumn("x", graft.ops.SigAgree.sigAgreeComposed(col("a"), col("b")))
+      .withColumn("y", graft.ops.SigAgree.sig_agree(col("a"), col("b")))
+      .filter(!(col("x") <=> col("y")))
+      .count()
+    assert(mism == 0)
+    // null elements agree with nothing (zip_with's null comparison is
+    // dropped by the filter in the composed form)
+    val nulls = Seq((Seq(Some(1L), None, Some(3L)), Seq(Some(1L), None, Some(3L))))
+      .toDF("a", "b")
+    val both = nulls.select(
+      graft.ops.SigAgree.sig_agree(col("a"), col("b")).as("y"),
+      graft.ops.SigAgree.sigAgreeComposed(col("a"), col("b")).as("x"))
+      .collect()(0)
+    assert(both.getInt(0) == 2 && both.getInt(1) == 2)
+  }
+
   test("TokenStats equals the composed size/exists/min/max expressions") {
     val df = spark.sql(
       """SELECT * FROM VALUES
