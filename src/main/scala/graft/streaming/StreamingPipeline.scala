@@ -68,19 +68,7 @@ object StreamingPipeline {
                                       p: Params): Unit = {
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // check for actual CONTENT, not bare directory existence: a batch
-    // whose kept set is empty leaves the index dir present but file-less
-    // (a partitioned write of an empty frame emits nothing — not even a
-    // _SUCCESS marker, and dynamic-partition commits don't write one at
-    // the root either), and an existence-only check would feed an
-    // unreadable empty dir to the next batch's read
-    def have(path: String): Boolean = {
-      val p = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
-      fs.exists(p) && fs.listStatus(p).exists { s =>
-        val n = s.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      }
-    }
+    def have(path: String): Boolean = StateFs.nonEmptyDir(fs, path)
 
     // ---- quality gate + scrub (pure projections)
     val annotated = QualityFilter.annotate(batch, "text", p.rules)
@@ -116,7 +104,7 @@ object StreamingPipeline {
           array(lit("exact_duplicate")).as("reasons"))
       val afterExact = clean.join(exactDropIds, Seq("doc_id"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
-
+      try {
       // ---- near-dup vs kept corpus + within batch (keep-first)
       val fresh = IncrementalDedup.signatureRows(afterExact, "text", "doc_id",
           p.shingleK, p.perms, p.bands)
@@ -144,6 +132,7 @@ object StreamingPipeline {
           .filter(col("__other_new").isNull || col("other") < col("doc_id"))
           .select(col("doc_id")).distinct()
           .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
         val nearRejects = nearDropIds
           .select(col("doc_id"), lit("near_dup").as("stage"),
             array(lit("near_duplicate")).as("reasons"))
@@ -178,9 +167,12 @@ object StreamingPipeline {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("band", "batch_id")
           .parquet(sigIndexPath(statePath))
-        nearDropIds.unpersist()
+        // every persist released on ALL paths — a failed batch in a
+        // long-lived (follow-mode / StreamBench) session must not pin
+        // batch-sized cache blocks
+        } finally nearDropIds.unpersist()
       } finally fresh.unpersist()
-      afterExact.unpersist()
+      } finally afterExact.unpersist()
     } finally clean.unpersist()
   }
 

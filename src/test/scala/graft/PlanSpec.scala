@@ -213,11 +213,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_freq_items_agg"),
       s"the Misra-Gries sketch must partially aggregate map-side:\n$p")
     // the exact path's scale bottleneck is the distinct-(group, word)
-    // exchange; the sketch path must not have one — its only hash
-    // exchange is keyed by the group alone
-    assert(!p.contains("hashpartitioning(group#") ||
-      !"hashpartitioning\\([^)]*word".r.findFirstIn(p).isDefined,
-      s"a (group, word) exchange crept back in:\n$p")
+    // exchange; the sketch path must not have one — every hash exchange
+    // in the plan must be keyed WITHOUT the word column
+    val hashParts = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toList
+    assert(hashParts.nonEmpty, s"expected a group-keyed exchange:\n$p")
+    hashParts.foreach(h => assert(!h.contains("word"),
+      s"a word-keyed exchange crept back in: $h\n$p"))
   }
 
   test("q42 batch kNN: rank<=k pruned by a partial WindowGroupLimit before the exchange") {
