@@ -3,7 +3,8 @@ package graft.sequences
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -115,7 +116,7 @@ object TokenStats {
   */
 case class ViolationMask(tokens: Expression, nTok: Expression,
                          vocab: Int, minNtok: Int, maxNtok: Int)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
   override def left: Expression = tokens
   override def right: Expression = nTok
   override def dataType: DataType = IntegerType
@@ -126,13 +127,51 @@ case class ViolationMask(tokens: Expression, nTok: Expression,
   override def eval(input: InternalRow): Any = {
     val arrRaw = tokens.eval(input)
     val ntRaw = nTok.eval(input)
+    ViolationMask.compute(
+      if (arrRaw == null) null else arrRaw.asInstanceOf[ArrayData],
+      if (ntRaw == null) 0 else ntRaw.asInstanceOf[Int],
+      ntRaw == null, vocab, minNtok, maxNtok)
+  }
+
+  // codegen keeps the one-scan suite's violations FILTER inside
+  // whole-stage codegen (this expression sits on the headline seq/s
+  // path); null handling is explicit because the mask is defined for
+  // null inputs too
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tokGen = tokens.genCode(ctx)
+    val ntGen = nTok.genCode(ctx)
+    ev.copy(code =
+      code"""
+            |${tokGen.code}
+            |${ntGen.code}
+            |int ${ev.value} = graft.sequences.ViolationMask.compute(
+            |  ${tokGen.isNull} ? null : ${tokGen.value},
+            |  ${ntGen.isNull} ? 0 : ${ntGen.value}, ${ntGen.isNull},
+            |  $vocab, $minNtok, $maxNtok);
+          """.stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ViolationMask =
+    copy(tokens = l, nTok = r)
+  override def prettyName: String = "violation_mask"
+}
+
+object ViolationMask {
+  def violation_mask(tokens: Column, nTok: Column,
+                     vocab: Int, minNtok: Int, maxNtok: Int): Column =
+    ColumnBridge.column(ViolationMask(
+      ColumnBridge.expression(tokens), ColumnBridge.expression(nTok),
+      vocab, minNtok, maxNtok))
+
+  /** One-walk mask body shared by eval and the generated code: `arr` may
+    * be null (tokens column null), `ntNull` says whether n_tok was null
+    * (`nt` is then ignored).
+    */
+  def compute(arr: ArrayData, nt: Int, ntNull: Boolean,
+              vocab: Int, minNtok: Int, maxNtok: Int): Int = {
     var mask = 0
-    if (ntRaw != null) {
-      val v = ntRaw.asInstanceOf[Int]
-      if (v < minNtok || v > maxNtok) mask |= 8
-    }
-    if (arrRaw != null) {
-      val arr = arrRaw.asInstanceOf[ArrayData]
+    if (!ntNull && (nt < minNtok || nt > maxNtok)) mask |= 8
+    if (arr != null) {
       val n = arr.numElements()
       var nNull = 0
       var mn = Int.MaxValue
@@ -149,22 +188,10 @@ case class ViolationMask(tokens: Expression, nTok: Expression,
         }
         i += 1
       }
-      if (ntRaw != null && ntRaw.asInstanceOf[Int] != n) mask |= 1
+      if (!ntNull && nt != n) mask |= 1
       if (nNull > 0) mask |= 2
       if (seen && (mn < 0 || mx >= vocab)) mask |= 4
     }
     mask
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): ViolationMask =
-    copy(tokens = l, nTok = r)
-  override def prettyName: String = "violation_mask"
-}
-
-object ViolationMask {
-  def violation_mask(tokens: Column, nTok: Column,
-                     vocab: Int, minNtok: Int, maxNtok: Int): Column =
-    ColumnBridge.column(ViolationMask(
-      ColumnBridge.expression(tokens), ColumnBridge.expression(nTok),
-      vocab, minNtok, maxNtok))
 }

@@ -49,7 +49,14 @@ class CodegenForcedSpec extends AnyFunSuite {
       Similarity.cosine(col("va"), col("vb")).as("cos"),
       Similarity.rhpSignature(col("va"), 6, 7L).as("rhp"))
       .orderBy(col("rhp"))
-    Seq(d.collect().toSeq, v.collect().toSeq)
+    val m = Seq(
+      (Seq(1, 2, 3), 3), (Seq(1, -5, 3), 2), (Seq.empty[Int], 0))
+      .toDF("tokens", "n_tok")
+      .select(graft.sequences.ViolationMask.violation_mask(
+        col("tokens"), col("n_tok"), vocab = 100, minNtok = 1, maxNtok = 10)
+        .as("mask"))
+      .orderBy(col("mask"))
+    Seq(d.collect().toSeq, v.collect().toSeq, m.collect().toSeq)
   }
 
   test("native expressions compile and agree under forced codegen") {
