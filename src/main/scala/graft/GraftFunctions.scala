@@ -89,7 +89,10 @@ object GraftFunctions {
           if (args.length > 1) litInt(args(1), "maxMapSize") else 4096)),
     ("cut_spans",
       "cut_spans(text, spans) - drop words inside (span_start, span_words) ranges",
-      (args: Seq[Expression]) => graft.ops.CutSpans(args(0), args(1)))
+      (args: Seq[Expression]) => graft.ops.CutSpans(args(0), args(1))),
+    ("sig_agree",
+      "sig_agree(a, b) - agreeing-position count of two bigint arrays (minhash est_jaccard numerator)",
+      (args: Seq[Expression]) => graft.ops.SigAgree(args(0), args(1)))
   )
 
   private def info(name: String, usage: String): ExpressionInfo =

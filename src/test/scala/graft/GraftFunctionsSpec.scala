@@ -78,4 +78,11 @@ class GraftFunctionsSpec extends AnyFunSuite {
         .stripMargin).collect()(0).getString(0)
     assert(out == "a d e")
   }
+
+  test("sig_agree callable from SQL") {
+    val n = spark.sql(
+      "SELECT sig_agree(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 4L)) AS n")
+      .collect()(0).getInt(0)
+    assert(n == 3)
+  }
 }
