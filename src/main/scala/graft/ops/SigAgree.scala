@@ -24,6 +24,24 @@ case class SigAgree(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
 
+  // the SQL-registered form accepts arbitrary expressions: compute()
+  // reads 8-byte elements, so a non-bigint array (e.g. the natural
+  // array(1,2,3) int literal) must fail ANALYSIS rather than return
+  // garbage agreement counts from misaligned reads
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<BIGINT> arguments, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     SigAgree.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 

@@ -2,8 +2,10 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-/** Filesystem checks shared by the streaming state layouts and the
-  * persisted-index callers (q40's ensure).
+/** Filesystem checks shared by the streaming state layouts. (q40's
+  * build-once index deliberately does NOT use this: a bare content check
+  * would reuse a partially-written dir after a crashed build, so it has
+  * an explicit completion marker instead — Queries.ensureQ40Index.)
   */
 private[graft] object StateFs {
   /** True iff `path` exists AND holds at least one non-hidden entry.

@@ -84,5 +84,10 @@ class GraftFunctionsSpec extends AnyFunSuite {
       "SELECT sig_agree(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 4L)) AS n")
       .collect()(0).getInt(0)
     assert(n == 3)
+    // the natural int-literal form must fail analysis, not misread bytes
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT sig_agree(array(1, 2, 3), array(1, 2, 3))"))
+    assert(e.getMessage.toLowerCase.contains("sig_agree") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"))
   }
 }

@@ -214,11 +214,13 @@ class PlanSpec extends AnyFunSuite {
       s"the Misra-Gries sketch must partially aggregate map-side:\n$p")
     // the exact path's scale bottleneck is the distinct-(group, word)
     // exchange; the sketch path must not have one — every hash exchange
-    // in the plan must be keyed WITHOUT the word column
-    val hashParts = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toList
-    assert(hashParts.nonEmpty, s"expected a group-keyed exchange:\n$p")
-    hashParts.foreach(h => assert(!h.contains("word"),
-      s"a word-keyed exchange crept back in: $h\n$p"))
+    // in the plan must be keyed WITHOUT the word column. Whole plan
+    // LINES are the inspection unit (a [^)]* regex would truncate at the
+    // first nested ')' and could skip a later word key).
+    val hashLines = p.linesIterator.filter(_.contains("hashpartitioning")).toList
+    assert(hashLines.nonEmpty, s"expected a group-keyed exchange:\n$p")
+    hashLines.foreach(l => assert(!l.contains("word"),
+      s"a word-keyed exchange crept back in: $l\n$p"))
   }
 
   test("q42 batch kNN: rank<=k pruned by a partial WindowGroupLimit before the exchange") {
