@@ -29,10 +29,29 @@ object Main {
       .getOrCreate()
   }
 
-  private def argMap(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect { case Array(k, v) if k.startsWith("--") =>
-      k.stripPrefix("--") -> v
-    }.toMap
+  /** `--k v` pairs plus bare `--flag` (value ""). The old sliding(2,2)
+    * parse silently DROPPED a dangling flag and desynced every pair after
+    * it (round-4 ADVICE: `--follow` alone fell through to AvailableNow);
+    * now a flag without a value records the empty string — callers use
+    * [[flagOr]] so defaults like the 30-second follow interval apply.
+    */
+  private def argMap(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.LinkedHashMap[String, String]()
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      require(a.startsWith("--"), s"expected --key, got '$a'")
+      if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+        m(a.stripPrefix("--")) = args(i + 1); i += 2
+      } else { m(a.stripPrefix("--")) = ""; i += 1 }
+    }
+    m.toMap
+  }
+
+  /** The flag's value, or `default` when absent OR present bare. */
+  private def flagOr(opts: Map[String, String], key: String,
+                     default: String): String =
+    opts.get(key).filter(_.nonEmpty).getOrElse(default)
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
@@ -118,7 +137,7 @@ object Main {
         val trigger =
           if (opts.contains("follow"))
             org.apache.spark.sql.streaming.Trigger.ProcessingTime(
-              opts.getOrElse("follow", "30 seconds"))
+              flagOr(opts, "follow", "30 seconds"))
           else org.apache.spark.sql.streaming.Trigger.AvailableNow()
         val q = graft.streaming.StreamingValidator.start(
           spark, input, statePath, dim, Validator.SuiteConfig(), trigger)
@@ -200,7 +219,7 @@ object Main {
           val trigger =
             if (opts.contains("follow"))
               org.apache.spark.sql.streaming.Trigger.ProcessingTime(
-                opts.getOrElse("follow", "30 seconds"))
+                flagOr(opts, "follow", "30 seconds"))
             else org.apache.spark.sql.streaming.Trigger.AvailableNow()
           val q = graft.streaming.StreamingDedup.start(spark, input, statePath,
             graft.streaming.StreamingDedup.Params(
@@ -227,7 +246,7 @@ object Main {
           val trigger =
             if (opts.contains("follow"))
               org.apache.spark.sql.streaming.Trigger.ProcessingTime(
-                opts.getOrElse("follow", "30 seconds"))
+                flagOr(opts, "follow", "30 seconds"))
             else org.apache.spark.sql.streaming.Trigger.AvailableNow()
           val q = graft.streaming.StreamingPipeline.start(spark, input, statePath,
             graft.streaming.StreamingPipeline.Params(

@@ -32,6 +32,23 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  // analysis-time guard for the SQL-registered form: compute() reads
+  // float/double elements per side (mixed widths allowed — each side's
+  // reader is chosen independently), so anything else must fail analysis
+  // instead of ClassCastException-ing at first eval
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<FLOAT|DOUBLE> arguments, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
   private lazy val lFloat = isFloat(left)

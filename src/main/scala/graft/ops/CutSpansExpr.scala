@@ -124,10 +124,18 @@ object CutSpans {
       while (i < nSpans) {
         if (!spans.isNullAt(i)) {
           val row = spans.getStruct(i, 2)
-          val st = row.getLong(0)
-          iv(2 * nIv) = st
-          iv(2 * nIv + 1) = st + row.getLong(1)
-          nIv += 1
+          // null FIELDS are skipped like null elements: the fields are
+          // nullable BIGINTs, so analysis can't reject them, and getLong
+          // on a null slot reads 0 — a silently wrong cut interval
+          // (round-4 ADVICE). (The composed HOF twin instead nulls the
+          // word predicate, dropping EVERY word — CutSpansSpec pins
+          // bit-identity on well-formed spans only.)
+          if (!row.isNullAt(0) && !row.isNullAt(1)) {
+            val st = row.getLong(0)
+            iv(2 * nIv) = st
+            iv(2 * nIv + 1) = st + row.getLong(1)
+            nIv += 1
+          }
         }
         i += 1
       }

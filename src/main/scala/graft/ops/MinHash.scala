@@ -28,6 +28,20 @@ case class MinHash64(child: Expression, perms: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // the SQL-registered form accepts arbitrary expressions: compute()
+  // reads 8-byte elements, so a non-bigint array (the natural
+  // array(1,2,3) int literal) must fail ANALYSIS rather than hash
+  // garbage from misaligned getLong reads (same hazard class SigAgree
+  // documents)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an ARRAY<BIGINT> argument, got ${other.sql}")
+    }
+
   // golden-gamma odd constants per permutation, fixed at plan time
   private lazy val seeds: Array[Long] =
     Array.tabulate(perms)(p => 0x9E3779B97F4A7C15L * (2L * p + 1L))

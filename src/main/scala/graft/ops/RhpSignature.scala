@@ -33,6 +33,20 @@ case class RhpSignature(child: Expression, planes: Int, seed: Long)
 
   override def dataType: DataType = LongType
 
+  // analysis-time guard for the SQL-registered form: compute() reads
+  // float/double elements (and `isFloat` below blindly casts the child
+  // type to ArrayType), so anything else must fail analysis instead of
+  // ClassCastException-ing at first eval
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | org.apache.spark.sql.types.DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an ARRAY<FLOAT> or ARRAY<DOUBLE> argument, " +
+            s"got ${other.sql}")
+    }
+
   private lazy val isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 

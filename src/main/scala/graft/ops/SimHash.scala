@@ -22,7 +22,20 @@ case class SimHash64(child: Expression)
   extends UnaryExpression {
 
   override def dataType: DataType = LongType
-  def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+
+  // analysis-time guard for the SQL-registered form: compute() reads
+  // 8-byte elements, so a non-bigint array must fail analysis instead of
+  // voting on misaligned getLong reads (the plain `inputTypes` member
+  // this replaces was dead — UnaryExpression doesn't mix in
+  // ExpectsInputTypes, so nothing ever consulted it)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an ARRAY<BIGINT> argument, got ${other.sql}")
+    }
 
   override protected def nullSafeEval(input: Any): Any =
     SimHash64.compute(input.asInstanceOf[ArrayData])

@@ -90,4 +90,31 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("sig_agree") ||
       e.getMessage.toLowerCase.contains("data type mismatch"))
   }
+
+  test("remaining natives reject mistyped arrays at analysis") {
+    // round-4 ADVICE: sig_agree/cut_spans gained guards but the other
+    // SQL-registered natives still read raw 8/4-byte slots — the natural
+    // int-literal (or string) forms must fail ANALYSIS, not compute
+    // garbage from misaligned reads
+    for (bad <- Seq(
+        "SELECT minhash64(array(1, 2, 3), 16)",          // int array
+        "SELECT minhash64('abc', 16)",                   // not an array
+        "SELECT simhash64(array(1, 2, 3))",              // int array
+        "SELECT simhash64(42L)",                         // not an array
+        "SELECT rhp_signature(array(1L, 2L), 8, 7L)",    // long array (wants float/double)
+        "SELECT rhp_signature('abc', 8, 7L)",            // not an array
+        "SELECT cosine_sim(array(1L, 2L), array(1L, 2L))",      // long arrays
+        "SELECT cosine_sim(array(1.0F, 2.0F), array('a', 'b'))" // one side bad
+      )) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(bad))
+      assert(e.getMessage.toLowerCase.contains("requires") ||
+        e.getMessage.toLowerCase.contains("data type mismatch"), bad)
+    }
+    // the valid widths still pass: float AND double vectors, mixed sides
+    val ok = spark.sql(
+      """SELECT cosine_sim(array(1.0F, 2.0F), array(1.0D, 2.0D)) AS c,
+        |       rhp_signature(array(1.0D, 2.0D), 8, 7L) AS s""".stripMargin)
+      .collect()(0)
+    assert(math.abs(ok.getDouble(0) - 1.0) < 1e-12)
+  }
 }

@@ -103,6 +103,26 @@ class CutSpansSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL form: null span FIELDS are skipped, not read as 0") {
+    graft.GraftFunctions.register(spark)
+    // nullable BIGINT fields pass analysis; getLong on a null slot would
+    // read 0 and cut the wrong interval (round-4 ADVICE) — a span with
+    // any null field must cover nothing, like a null span element
+    val rows = spark.sql(
+      """SELECT
+        |  cut_spans('a b c d', array(
+        |    named_struct('span_start', CAST(NULL AS BIGINT), 'span_words', 2L))) AS c1,
+        |  cut_spans('a b c d', array(
+        |    named_struct('span_start', 1L, 'span_words', CAST(NULL AS BIGINT)))) AS c2,
+        |  cut_spans('a b c d', array(
+        |    named_struct('span_start', CAST(NULL AS BIGINT), 'span_words', 2L),
+        |    named_struct('span_start', 2L, 'span_words', 1L))) AS c3"""
+        .stripMargin).collect()(0)
+    assert(rows.getString(0) == "a b c d") // null start: covers nothing (0-start would cut "a b")
+    assert(rows.getString(1) == "a b c d") // null width: covers nothing
+    assert(rows.getString(2) == "a b d")   // well-formed sibling still applies
+  }
+
   test("cut composes with keep-first spans end-to-end (kept copy survives)") {
     val phrase = "alpha bravo charlie delta echo foxtrot"
     val docs = Seq(
