@@ -78,15 +78,18 @@ object StreamingPipeline {
       .withColumn("text", Redaction.redact(col("text")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // ---- exact dedup: narrow (hash, id) rows only; a doc is dropped
-      // if its content hash was KEPT in any prior batch, or if a
-      // smaller-id doc of this batch shares it
+      // ---- exact dedup: narrow (hash, hash2, id) rows only; a doc is
+      // dropped if its content key was KEPT in any prior batch, or if a
+      // smaller-id doc of this batch shares it. TWO independent hashes —
+      // the same ~2^-128 joint-collision key as Dedup.dropExactDuplicates
+      // (a single 64-bit key false-drops ~10^4 docs at 10^12 rows).
       val hashed = clean.select(col("doc_id"),
-        xxhash64(col("text")).as("dup_hash"))
+        xxhash64(col("text")).as("dup_hash"),
+        graft.ops.Dedup.contentHash2(col("text")).as("dup_hash2"))
       val dropWithin = hashed
-        .join(hashed.groupBy(col("dup_hash"))
+        .join(hashed.groupBy(col("dup_hash"), col("dup_hash2"))
             .agg(min(col("doc_id")).as("__keep_id")),
-          "dup_hash")
+          Seq("dup_hash", "dup_hash2"))
         .filter(col("doc_id") =!= col("__keep_id"))
         .select(col("doc_id"))
       val dropPrior =
@@ -95,8 +98,8 @@ object StreamingPipeline {
         else hashed.join(
             spark.read.parquet(hashIndexPath(statePath))
               .filter(col("batch_id") =!= batchId)
-              .select(col("dup_hash")),
-            Seq("dup_hash"), "left_semi")
+              .select(col("dup_hash"), col("dup_hash2")),
+            Seq("dup_hash", "dup_hash2"), "left_semi")
           .select(col("doc_id"))
       val exactDropIds = dropWithin.unionByName(dropPrior).distinct()
       val exactRejects = exactDropIds

@@ -50,7 +50,7 @@ class OpsSpec extends AnyFunSuite {
     assert(g.length == 1)
     assert(g(0).getAs[Long]("n") == 50L) // exact count survives the cap
     assert(g(0).getAs[Long]("keep_id") == 1L)
-    assert(g(0).getSeq[Long](3) == (1L to 8L)) // smallest maxIds ids, ascending
+    assert(g(0).getAs[scala.collection.Seq[Long]]("all_ids") == (1L to 8L)) // smallest maxIds ids, ascending
     // the id sample is pruned map-side (partial WindowGroupLimit), so a
     // 1e8-copy boilerplate group never materializes in one buffer. The
     // plan check needs a relation whose row count is NOT statically <=
