@@ -250,7 +250,8 @@ object Main {
             else org.apache.spark.sql.streaming.Trigger.AvailableNow()
           val q = graft.streaming.StreamingPipeline.start(spark, input, statePath,
             graft.streaming.StreamingPipeline.Params(
-              minJaccard = opts.getOrElse("jaccard", "0.5").toDouble),
+              minJaccardEst = opts.getOrElse("est-jaccard", "0.2").toDouble,
+              jaccardThreshold = opts.getOrElse("jaccard", "0.8").toDouble),
             trigger, schema)
           q.awaitTermination()
           def cnt(p: String): Long =

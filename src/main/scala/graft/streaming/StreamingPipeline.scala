@@ -19,10 +19,18 @@ import graft.ops.{IncrementalDedup, QualityFilter, Redaction}
   * probed with batch-sized join sides.
   *
   * Keep-first semantics (deterministic): a batch document is dropped as
-  * a near-duplicate iff it has a candidate pair (signature agreement >=
-  * minJaccard) with a PRIOR KEPT document, or with a smaller-id document
-  * of its own batch (after exact dedup). Only KEPT documents enter the
-  * indexes — a rejected document never blocks a future one. On
+  * a near-duplicate iff it has a CONFIRMED pair — an LSH candidate
+  * (shared band, signature agreement >= minJaccardEst) whose exact
+  * n-gram Jaccard, reranked against the pair's real text, is >=
+  * jaccardThreshold — with a PRIOR KEPT document, or with a smaller-id
+  * document of its own batch (after exact dedup). The rerank is the same
+  * decision the batch [[graft.ops.Pipeline]] makes (round-4 VERDICT #1:
+  * the estimator-only drop silently lost documents the batch pipeline
+  * keeps on estimator false positives); its cost is batch-proportional —
+  * pairs are bucket-capped and only pair-touched texts are shingled,
+  * batch-side text from the micro-batch itself, prior-side text
+  * semi-joined out of the durable train/ corpus. Only KEPT documents
+  * enter the indexes — a rejected document never blocks a future one. On
   * similarity CHAINS (a~b, b~c, a!~c) the within-batch rule is
   * conservative (c is dropped even though b was): that makes the batch
   * split observable for chains, while chain-free corpora produce the
@@ -48,11 +56,16 @@ object StreamingPipeline {
   final case class Params(
       rules: QualityFilter.Rules = QualityFilter.Rules(),
       shingleK: Int = 3, perms: Int = 32, bands: Int = 16,
-      /** signature-agreement threshold for the near-dup drop (streaming
-        * keeps the estimator decision — reranking would re-read kept
-        * TEXT, which only the batch side carries here)
+      /** signature-agreement PREFILTER for candidate mining (the same
+        * role as the batch Pipeline's mining threshold) — candidates
+        * below it are never reranked
         */
-      minJaccard: Double = 0.5,
+      minJaccardEst: Double = 0.2,
+      /** exact n-gram Jaccard threshold for the near-dup DROP, applied
+        * to reranked candidate pairs — [[graft.ops.Pipeline.Config]]'s
+        * jaccardThreshold, same default
+        */
+      jaccardThreshold: Double = 0.8,
       maxBucket: Int = 64)
 
   /** All batches' kept documents (batch_id is a partition column). */
@@ -118,17 +131,49 @@ object StreamingPipeline {
           else Some(spark.read.parquet(sigIndexPath(statePath))
             .filter(col("batch_id") =!= batchId))
         val cands = IncrementalDedup.candidatePairs(fresh, priorSigs,
-          p.perms, p.minJaccard, p.maxBucket)
+          p.perms, p.minJaccardEst, p.maxBucket)
+        // rerank the estimator candidates on exact n-gram Jaccard — the
+        // SAME drop decision as batch Pipeline.run. Pair text is durably
+        // at hand on both sides: batch ids from the micro-batch, prior
+        // KEPT ids from train/ (excluding own batch_id — a replay that
+        // crashed after the train write must not rerank against itself;
+        // candidate ids can't reference own-batch train rows anyway since
+        // the sig probe excludes them). ngramJaccardH semi-joins the pool
+        // down to pair-touched ids before shingling, so the rerank scales
+        // with the (bucket-capped) candidate set, not the corpus.
+        val textPool = {
+          val batchTexts = afterExact.select(col("doc_id"), col("text"))
+          if (!have(trainPath(statePath))) batchTexts
+          else batchTexts.unionByName(
+            spark.read.parquet(trainPath(statePath))
+              .filter(col("batch_id") =!= batchId)
+              .select(col("doc_id"), col("text")))
+        }
+        // the candidate set is tiny (bucket-capped) but its LOGICAL plan
+        // embeds the whole mining join, and the rerank replays that plan
+        // three times (id prune + both text joins) inside every
+        // downstream write — without truncation, per-action Catalyst
+        // analysis went super-linear (a round-5 test run sat minutes in
+        // TreeNode.exists). localCheckpoint materializes the pair ids
+        // eagerly and cuts the lineage; losing the blocks just fails the
+        // batch, and the batch is replay-idempotent by construction.
+        val pairIds = cands.select(col("id_a"), col("id_b"))
+          .localCheckpoint(true)
+        val reranked = graft.ops.Dedup.ngramJaccardH(textPool, pairIds,
+          "text", "doc_id", p.shingleK)
+        try {
+        val confirmed = reranked.value
+          .filter(col("jaccard") >= p.jaccardThreshold)
         // each pair drops its "later" side: the batch doc when the other
         // side is prior-kept, the larger id when both are batch docs
         val batchIds = afterExact.select(col("doc_id").as("other"))
           .withColumn("__other_new", lit(true))
-        val dirs = cands.select(col("id_a").as("doc_id"), col("id_b").as("other"))
+        val dirs = confirmed.select(col("id_a").as("doc_id"), col("id_b").as("other"))
           .unionByName(
-            cands.select(col("id_b").as("doc_id"), col("id_a").as("other")))
+            confirmed.select(col("id_b").as("doc_id"), col("id_a").as("other")))
         // persisted: this id frame feeds THREE actions (the rejects
         // write, the empty-check, the kept write) — without the persist
-        // the whole candidate-mining join would re-run per action
+        // the whole candidate-mining + rerank join would re-run per action
         val nearDropIds = dirs
           .join(afterExact.select(col("doc_id")), Seq("doc_id"), "left_semi")
           .join(batchIds, Seq("other"), "left")
@@ -174,6 +219,7 @@ object StreamingPipeline {
         // long-lived (follow-mode / StreamBench) session must not pin
         // batch-sized cache blocks
         } finally nearDropIds.unpersist()
+        } finally reranked.close()
       } finally fresh.unpersist()
       } finally afterExact.unpersist()
     } finally clean.unpersist()

@@ -41,6 +41,18 @@ class StreamingPipelineSpec extends AnyFunSuite {
 
   private val p = StreamingPipeline.Params()
 
+  /** TextOps.shingles semantics in plain Scala (distinct trigram word
+    * shingles, whole-text fallback under 3 words) — the rerank oracle.
+    */
+  private def shingleSet(t: String): Set[String] = {
+    val w = t.split(" ", -1)
+    if (w.length < 3) Set(t) else w.sliding(3).map(_.mkString(" ")).toSet
+  }
+  private def trueJaccard(a: String, b: String): Double = {
+    val (sa, sb) = (shingleSet(a), shingleSet(b))
+    sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
   private def keptIds(dir: String): Set[Long] =
     StreamingPipeline.train(spark, dir).select("doc_id")
       .collect().map(_.getLong(0)).toSet
@@ -116,10 +128,16 @@ class StreamingPipelineSpec extends AnyFunSuite {
     // differential oracle: collect every doc's minhash signature ONCE
     // (the shared similarity kernel), then fold the batches in plain
     // Scala implementing the documented semantics — candidate iff a
-    // shared LSH band AND signature agreement >= minJaccard; drop iff
-    // candidate with prior-kept, or with a smaller-id doc of the same
-    // batch after exact dedup. Everything else (index probes, replay
-    // layout, join shapes) is what the fuzz actually exercises.
+    // shared LSH band AND signature agreement >= minJaccardEst; DROP iff
+    // additionally the exact n-gram Jaccard (distinct trigram word
+    // shingles, whole-text fallback under 3 words — TextOps.shingles
+    // semantics) >= jaccardThreshold, against prior-kept or a smaller-id
+    // doc of the same batch after exact dedup. Everything else (index
+    // probes, rerank joins, replay layout) is what the fuzz exercises.
+    // threshold 0.7: one-word edits of these 24-word docs sit at true
+    // J 0.76-0.91, so the fuzz exercises drops; the 0.8 default would
+    // keep them all and the near-dup path would go untested here.
+    val pf = StreamingPipeline.Params(jaccardThreshold = 0.7)
     val perms = 32; val bands = 16; val rpb = perms / bands
     for (seed <- Seq(11, 42, 97)) {
       val rng = new scala.util.Random(seed)
@@ -151,8 +169,12 @@ class StreamingPipelineSpec extends AnyFunSuite {
         val (x, y) = (sigMap(a), sigMap(b))
         val shareBand = (0 until bands).exists(bd =>
           (0 until rpb).forall(k => x(bd * rpb + k) == y(bd * rpb + k)))
-        shareBand &&
-          (0 until perms).count(p => x(p) == y(p)) / perms.toDouble >= p.minJaccard
+        val estOk = shareBand &&
+          (0 until perms).count(p => x(p) == y(p)) / perms.toDouble >= pf.minJaccardEst
+        estOk && {
+          val (sa, sb) = (shingleSet(textMap(a)), shingleSet(textMap(b)))
+          sa.intersect(sb).size.toDouble / sa.union(sb).size >= pf.jaccardThreshold
+        }
       }
 
       // independent sequential fold
@@ -182,11 +204,60 @@ class StreamingPipelineSpec extends AnyFunSuite {
       batches.zipWithIndex.foreach { case (batch, b) =>
         val bdf = docs.filter(d => batch.contains(d._1)).toSeq
           .toDF("doc_id", "text", "source")
-        StreamingPipeline.processBatch(spark, bdf, b.toLong, dir, p)
+        StreamingPipeline.processBatch(spark, bdf, b.toLong, dir, pf)
       }
       assert(keptIds(dir) == kept.toSet, s"seed $seed kept mismatch")
       assert(rejectStages(dir) == oracleStage.toMap, s"seed $seed stages mismatch")
     }
+  }
+
+  test("estimator false positive KEPT after rerank; stream kept set == batch Pipeline kept set") {
+    // round-4 VERDICT #1: the estimator-only drop silently lost docs the
+    // batch pipeline keeps. Plant the exact failure shape: a pair whose
+    // minhash agreement clears the OLD 0.5 drop bar while its true
+    // n-gram Jaccard sits below the 0.8 rerank threshold (two scattered
+    // one-word edits of a 32-word doc: 6 of 30 trigrams change,
+    // J = 24/36 ~ 0.667; the unbiased agreement estimate concentrates
+    // near 0.667). Pre-round-5 code drops doc 2; reranked code keeps it.
+    val fpDoc = edit(edit(famA, "alphaae", "xray"), "alphaba", "whiskey")
+    val famB = fam("bravo")
+    val corpus = Seq(
+      (1L, famA, "web"),
+      (2L, fpDoc, "web"),                       // estimator FP -> KEEP
+      (3L, famB, "web"),
+      (4L, edit(famB, "bravoaq", "zulu"), "web")) // true near-dup of 3 -> DROP
+
+    // precondition: the planted pair really is an estimator false
+    // positive (candidate at the 0.2 prefilter, >= 0.5 agreement — the
+    // old drop bar — yet true Jaccard under the 0.8 drop threshold)
+    val perms = 32; val bands = 16; val rpb = perms / bands
+    val sigs = corpus.toDF("doc_id", "text", "source")
+      .select(col("doc_id"), graft.ops.Dedup.minhashSignature(
+        graft.ops.TextOps.shingles(col("text"), 3), perms).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agree = (0 until perms).count(i => sigs(1L)(i) == sigs(2L)(i)) / perms.toDouble
+    val shareBand = (0 until bands).exists(bd =>
+      (0 until rpb).forall(k => sigs(1L)(bd * rpb + k) == sigs(2L)(bd * rpb + k)))
+    assert(shareBand && agree >= 0.5,
+      s"planted pair must be a candidate clearing the old bar (agree $agree)")
+    assert(trueJaccard(famA, fpDoc) < p.jaccardThreshold,
+      s"planted pair must fail the rerank (J ${trueJaccard(famA, fpDoc)})")
+
+    // streaming, id-ordered batches (keep-first == keep-min-id then)
+    val dir = java.nio.file.Files.createTempDirectory("spipe-fp").toString
+    val cdf = corpus.toDF("doc_id", "text", "source")
+    StreamingPipeline.processBatch(spark, cdf.filter(col("doc_id") <= 2), 0L, dir, p)
+    StreamingPipeline.processBatch(spark, cdf.filter(col("doc_id") > 2), 1L, dir, p)
+    assert(keptIds(dir) == Set(1L, 2L, 3L))
+    assert(rejectStages(dir) == Map(4L -> "near_dup"))
+
+    // batch twin: graft.ops.Pipeline with its default thresholds (same
+    // 0.2 mining prefilter, same 0.8 rerank) must keep the SAME set on
+    // this chain-free corpus
+    val res = graft.ops.Pipeline.run(cdf)
+    val batchKept = res.kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    res.unpersist()
+    assert(batchKept == keptIds(dir), "stream kept set diverges from batch Pipeline")
   }
 
   test("streaming wiring: AvailableNow over a growing directory, checkpoint resumes") {
