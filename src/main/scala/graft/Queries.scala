@@ -943,8 +943,15 @@ object Queries {
   /** Multimodal feature extraction over a media table derived
     * deterministically from documents (bytes = UTF-8 text, all ASCII in
     * this corpus; every 97th payload nulled to exercise the corrupt
-    * channel). FakeDecoder's lane sums are exact integer folds, so the
-    * DuckDB oracle reproduces feature lane 0 bit-for-bit before rounding.
+    * channel). The default decoder is [[Multimodal.ImageIoDecoder]]
+    * (round-5): image-kind payloads go through the REAL javax.imageio
+    * decode, and since no document text is a decodable image, every
+    * image row deterministically lands in the error channel (ok=false,
+    * n_bytes = payload length, null feature) — which the oracle asserts.
+    * Audio/video still use FakeDecoder, whose lane sums are exact
+    * integer folds, so the DuckDB oracle reproduces feature lane 0
+    * bit-for-bit before rounding. (Real-pixel image decode is pinned in
+    * OpsSpec against generated PNGs — not DuckDB-expressible.)
     */
   private def q24(spark: SparkSession, dir: String): DataFrame = {
     val media = tbl(spark, dir, "documents").select(
@@ -966,21 +973,26 @@ object Queries {
     """WITH m AS (
       |  SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
       |              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-      |    -- FakeDecoder flags null AND empty payloads as corrupt, so the
-      |    -- oracle must too (degenerate texts, not just the planted nulls)
-      |    doc_id % 97 = 3 OR text IS NULL OR length(text) = 0 AS corrupt,
+      |    -- null AND empty payloads are "absent" (n_bytes 0), so the
+      |    -- oracle must treat degenerate texts like the planted nulls
+      |    doc_id % 97 = 3 OR text IS NULL OR length(text) = 0 AS absent,
       |    text FROM documents),
       |feat AS (
-      |  SELECT kind, corrupt,
-      |    CASE WHEN corrupt THEN NULL ELSE CAST(
+      |  SELECT kind,
+      |    -- image rows go through the REAL javax.imageio decode; text
+      |    -- bytes are never a decodable image, so every image row fails
+      |    -- (ok=false) — absent payloads with n_bytes 0, undecodable
+      |    -- ones with n_bytes = payload length
+      |    absent OR kind = 'image' AS failed,
+      |    CASE WHEN absent OR kind = 'image' THEN NULL ELSE CAST(
       |      CAST(list_sum([ord(text[8*j+1])
       |                     for j in range(0, CAST(ceil(length(text) / 8.0) AS BIGINT))]) AS DOUBLE)
       |      / 255.0 / greatest(1, length(text) // 8) AS FLOAT)
       |    END AS f0,
-      |    CASE WHEN corrupt THEN 0 ELSE length(text) END AS nb
+      |    CASE WHEN absent THEN 0 ELSE length(text) END AS nb
       |  FROM m)
       |SELECT kind, CAST(count(*) AS BIGINT) AS n,
-      |  CAST(count(*) FILTER (corrupt) AS BIGINT) AS n_corrupt,
+      |  CAST(count(*) FILTER (failed) AS BIGINT) AS n_corrupt,
       |  CAST(sum(nb) AS BIGINT) AS total_bytes,
       |  round(avg(f0), 4) AS avg_f0
       |FROM feat GROUP BY 1 ORDER BY 1""".stripMargin

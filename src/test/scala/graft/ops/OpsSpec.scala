@@ -305,6 +305,48 @@ class OpsSpec extends AnyFunSuite {
     assert(corrupt.nonEmpty && corrupt.forall(r => r.isNullAt(4)))
   }
 
+  test("ImageIoDecoder decodes REAL PNGs: dimensions, channel means, error channel") {
+    import spark.implicits._
+    def png(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val red = png(4, 2)((_, _) => 0xff0000)            // solid red 4x2
+    val bw = png(8, 8)((x, _) => if (x < 4) 0 else 0xffffff) // half black/white
+    val rows = Seq(
+      (1L, "image", red),
+      (2L, "image", bw),
+      (3L, "image", "definitely not an image".getBytes("UTF-8")), // planted corrupt
+      (4L, "image", null),
+      (5L, "audio", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)))
+    val out = Multimodal.extractFeatures(rows.toDF("media_id", "kind", "bytes"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def feat(id: Long): Seq[Float] =
+      out(id).getAs[scala.collection.Seq[Float]]("feature").toSeq
+
+    // solid red: w=4 h=2, meanR exactly 1, G/B 0, Rec.601 luma 0.299,
+    // aspect 2, alpha 1 (TYPE_INT_RGB decodes opaque)
+    assert(out(1L).getAs[Boolean]("ok"))
+    assert(out(1L).getAs[Int]("n_bytes") == red.length)
+    assert(feat(1L) == Seq(4f, 2f, 1f, 0f, 0f, 0.299f, 2f, 1f))
+    // half black / half white: every channel mean exactly 0.5
+    assert(feat(2L) == Seq(8f, 8f, 0.5f, 0.5f, 0.5f, 0.5f, 1f, 1f))
+    // undecodable bytes land in the error channel with the payload size
+    assert(!out(3L).getAs[Boolean]("ok") && out(3L).isNullAt(4))
+    assert(out(3L).getAs[Int]("n_bytes") == 23)
+    // absent payload: n_bytes 0
+    assert(!out(4L).getAs[Boolean]("ok") && out(4L).getAs[Int]("n_bytes") == 0)
+    // audio still rides the FakeDecoder stub — bit-identical to it
+    val fake = Multimodal.FakeDecoder.decode(
+      Seq((5L, "audio", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)))).head
+    assert(out(5L).getAs[Boolean]("ok") == fake._4)
+    assert(feat(5L) == fake._5.toSeq)
+  }
+
   test("multimodal resize + frame sampling: schema contract, determinism, corrupt channel") {
     val media = Multimodal.synthMedia(spark, 300)
     val resized = Multimodal.resize(media, 32, 32)
