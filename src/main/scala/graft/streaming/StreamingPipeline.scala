@@ -40,10 +40,13 @@ import graft.ops.{IncrementalDedup, QualityFilter, Redaction}
   * way.
   *
   * Exactly-once across restarts, the [[StreamingDedup]] layout: per-batch
-  * output directories (full overwrite — idempotent on replay), indexes
-  * partitioned by batch_id with dynamic overwrite, and every index read
-  * EXCLUDES the current batch_id so a replay that crashed between the
-  * output write and the index append cannot meet itself.
+  * output directories (full overwrite — idempotent on replay), indexes in
+  * the [[CompactedIndex]] base+delta layout (dynamic-overwrite batch_id
+  * deltas, periodically folded into a compacted base so listing cost is
+  * bounded instead of one directory per batch forever), and every index
+  * read EXCLUDES the current batch_id so a replay that crashed between
+  * the output write and the index append cannot meet itself (the running
+  * batch is never folded, so the exclusion survives compaction).
   */
 object StreamingPipeline {
 
@@ -66,7 +69,23 @@ object StreamingPipeline {
         * jaccardThreshold, same default
         */
       jaccardThreshold: Double = 0.8,
-      maxBucket: Int = 64)
+      maxBucket: Int = 64,
+      /** delta partitions tolerated per index before it folds into a
+        * compacted base generation ([[CompactedIndex]])
+        */
+      maxIndexDeltas: Int = 16)
+
+  /** Full index contents (base + deltas) — inspection/test surface. */
+  def hashIndex(spark: SparkSession, statePath: String): DataFrame =
+    readFullIndex(spark, hashIndexPath(statePath))
+  def sigIndex(spark: SparkSession, statePath: String): DataFrame =
+    readFullIndex(spark, sigIndexPath(statePath))
+  private def readFullIndex(spark: SparkSession, root: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CompactedIndex.read(spark, fs, root, -1L)
+      .getOrElse(spark.emptyDataFrame)
+  }
 
   /** All batches' kept documents (batch_id is a partition column). */
   def train(spark: SparkSession, statePath: String): DataFrame =
@@ -105,15 +124,15 @@ object StreamingPipeline {
           Seq("dup_hash", "dup_hash2"))
         .filter(col("doc_id") =!= col("__keep_id"))
         .select(col("doc_id"))
-      val dropPrior =
-        if (!have(hashIndexPath(statePath))) spark.emptyDataFrame
+      val dropPrior = CompactedIndex.read(spark, fs,
+          hashIndexPath(statePath), batchId) match {
+        case None => spark.emptyDataFrame
           .select(lit(0L).as("doc_id")).limit(0)
-        else hashed.join(
-            spark.read.parquet(hashIndexPath(statePath))
-              .filter(col("batch_id") =!= batchId)
-              .select(col("dup_hash"), col("dup_hash2")),
+        case Some(idx) => hashed.join(
+            idx.select(col("dup_hash"), col("dup_hash2")),
             Seq("dup_hash", "dup_hash2"), "left_semi")
           .select(col("doc_id"))
+      }
       val exactDropIds = dropWithin.unionByName(dropPrior).distinct()
       val exactRejects = exactDropIds
         .select(col("doc_id"), lit("exact_dup").as("stage"),
@@ -126,10 +145,8 @@ object StreamingPipeline {
           p.shingleK, p.perms, p.bands)
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        val priorSigs =
-          if (!have(sigIndexPath(statePath))) None
-          else Some(spark.read.parquet(sigIndexPath(statePath))
-            .filter(col("batch_id") =!= batchId))
+        val priorSigs = CompactedIndex.read(spark, fs,
+          sigIndexPath(statePath), batchId)
         val cands = IncrementalDedup.candidatePairs(fresh, priorSigs,
           p.perms, p.minJaccardEst, p.maxBucket)
         // rerank the estimator candidates on exact n-gram Jaccard — the
@@ -203,18 +220,18 @@ object StreamingPipeline {
         writeBatchDir(kept, s"${trainPath(statePath)}/batch_id=$batchId")
 
         val keptIds = kept.select(col("doc_id"))
-        hashed.join(keptIds, Seq("doc_id"), "left_semi")
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(hashIndexPath(statePath))
-        fresh.join(keptIds, fresh("id") === keptIds("doc_id"), "left_semi")
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("band", "batch_id")
-          .parquet(sigIndexPath(statePath))
+        CompactedIndex.append(
+          hashed.join(keptIds, Seq("doc_id"), "left_semi"),
+          hashIndexPath(statePath), batchId, Nil)
+        CompactedIndex.append(
+          fresh.join(keptIds, fresh("id") === keptIds("doc_id"), "left_semi"),
+          sigIndexPath(statePath), batchId, Seq("band"))
+        // compact AFTER appending — only batches < this one ever fold, so
+        // the replay self-exclusion stays exact
+        CompactedIndex.maybeCompact(spark, fs, hashIndexPath(statePath),
+          batchId, p.maxIndexDeltas, Nil)
+        CompactedIndex.maybeCompact(spark, fs, sigIndexPath(statePath),
+          batchId, p.maxIndexDeltas, Seq("band"))
         // every persist released on ALL paths — a failed batch in a
         // long-lived (follow-mode / StreamBench) session must not pin
         // batch-sized cache blocks

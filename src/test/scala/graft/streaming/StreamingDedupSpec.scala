@@ -45,7 +45,7 @@ class StreamingDedupSpec extends AnyFunSuite {
     StreamingDedup.processBatch(spark, b1, 1L, dir, p)
     assert(pairsOf(dir) ==
       Map((1L, 2L) -> 0L, (1L, 10L) -> 1L, (2L, 10L) -> 1L))
-    val idx = spark.read.parquet(StreamingDedup.indexPath(dir))
+    val idx = StreamingDedup.index(spark, dir)
     assert(idx.count() == idx.dropDuplicates("band", "band_hash", "id").count())
 
     // stream == batch: the union of per-batch pairs equals full mining
@@ -54,6 +54,38 @@ class StreamingDedupSpec extends AnyFunSuite {
         bands = p.bands, minJaccard = p.minJaccard)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairsOf(dir).keySet == full)
+  }
+
+  test("index compaction: same pairs as the flat layout, deltas bounded, replay clean") {
+    // 6 batches, one doc each; batch i's doc near-dups batch 0's doc, so
+    // every probe must still see batch 0's signatures AFTER they are
+    // folded into the compacted base (maxIndexDeltas = 1 folds early and
+    // often)
+    def b(i: Int) = Seq((100L + i) -> s"$base v$i").toDF("doc_id", "text")
+    def run(params: StreamingDedup.Params): String = {
+      val dir = java.nio.file.Files.createTempDirectory("sdedup-compact").toString
+      (0 until 6).foreach(i => StreamingDedup.processBatch(spark, b(i), i.toLong, dir, params))
+      dir
+    }
+    val compacted = run(p.copy(maxIndexDeltas = 1))
+    val flat = run(p) // default 16: never folds in 6 batches
+    assert(pairsOf(compacted) == pairsOf(flat))
+    assert(pairsOf(compacted).keySet ==
+      (for (i <- 0 until 6; j <- i + 1 until 6) yield (100L + i, 100L + j)).toSet)
+
+    val deltaRoot = new java.io.File(
+      s"${StreamingDedup.indexPath(compacted)}/deltas")
+    assert(deltaRoot.listFiles.count(_.getName.startsWith("batch_id=")) <= 2)
+    assert(new java.io.File(
+      s"${StreamingDedup.indexPath(compacted)}/base/CURRENT").exists)
+
+    // replay of the last batch after compaction: state unchanged, index
+    // still holds each doc's signatures exactly once
+    StreamingDedup.processBatch(spark, b(5), 5L, compacted, p.copy(maxIndexDeltas = 1))
+    assert(pairsOf(compacted) == pairsOf(flat))
+    val idx = StreamingDedup.index(spark, compacted)
+    assert(idx.count() == idx.dropDuplicates("band", "band_hash", "id").count())
+    assert(idx.select("id").distinct().count() == 6)
   }
 
   test("replay after crash-between-writes is idempotent even near the bucket cap") {

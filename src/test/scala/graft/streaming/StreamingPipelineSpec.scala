@@ -94,9 +94,9 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(keptIds(dir) == Set(10L))
     assert(rejectStages(dir)(1L) == "near_dup")
     // the quality-rejected doc 3 is in no index
-    val hashIdx = spark.read.parquet(StreamingPipeline.hashIndexPath(dir))
+    val hashIdx = StreamingPipeline.hashIndex(spark, dir)
     assert(hashIdx.select("doc_id").collect().map(_.getLong(0)).toSet == Set(10L))
-    val sigIdx = spark.read.parquet(StreamingPipeline.sigIndexPath(dir))
+    val sigIdx = StreamingPipeline.sigIndex(spark, dir)
     assert(sigIdx.select("id").distinct().collect().map(_.getLong(0)).toSet == Set(10L))
   }
 
@@ -105,13 +105,13 @@ class StreamingPipelineSpec extends AnyFunSuite {
     StreamingPipeline.processBatch(spark, df(1L, 2L, 3L), 0L, dir, p)
     StreamingPipeline.processBatch(spark, df(10L, 11L, 12L, 13L), 1L, dir, p)
     val kept1 = keptIds(dir); val stages1 = rejectStages(dir)
-    val hashCount = spark.read.parquet(StreamingPipeline.hashIndexPath(dir)).count()
+    val hashCount = StreamingPipeline.hashIndex(spark, dir).count()
     // the crash model: batch 1's indexes are already written; replaying
     // batch 1 must yield the identical state (reads exclude own batch_id)
     StreamingPipeline.processBatch(spark, df(10L, 11L, 12L, 13L), 1L, dir, p)
     assert(keptIds(dir) == kept1)
     assert(rejectStages(dir) == stages1)
-    assert(spark.read.parquet(StreamingPipeline.hashIndexPath(dir)).count() == hashCount)
+    assert(StreamingPipeline.hashIndex(spark, dir).count() == hashCount)
   }
 
   test("an all-rejected first batch leaves train/rejects roots readable") {
@@ -258,6 +258,75 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val batchKept = res.kept.select("doc_id").collect().map(_.getLong(0)).toSet
     res.unpersist()
     assert(batchKept == keptIds(dir), "stream kept set diverges from batch Pipeline")
+  }
+
+  test("index compaction: bounded deltas, identical decisions, crash-safe replay") {
+    // 8 id-ordered batches; batches 4..7 plant an exact dup and a near
+    // dup of a doc kept FOUR batches earlier — with maxIndexDeltas = 2
+    // those early deltas have been folded into the compacted base by
+    // then, so the drops prove base+delta probes see everything
+    val prefixes = Seq("alpha", "bravo", "carol", "delta",
+      "erwin", "fotox", "golfy", "hotel")
+    def batchDocs(i: Int): Seq[(Long, String, String)] = {
+      val base = Seq((10L * i + 1, fam(prefixes(i)), "web"))
+      if (i < 4) base
+      else base ++ Seq(
+        (10L * i + 2, fam(prefixes(i - 4)), "web"),                        // exact dup
+        (10L * i + 3, edit(fam(prefixes(i - 4)), prefixes(i - 4) + "aq", "zulu"), "web")) // near dup
+    }
+    def run(params: StreamingPipeline.Params): String = {
+      val dir = java.nio.file.Files.createTempDirectory("spipe-compact").toString
+      (0 until 8).foreach { i =>
+        StreamingPipeline.processBatch(spark,
+          batchDocs(i).toDF("doc_id", "text", "source"), i.toLong, dir, params)
+      }
+      dir
+    }
+    val compacted = run(p.copy(maxIndexDeltas = 2))
+    val flat = run(p) // default 16: never folds in 8 batches
+
+    // identical decisions with and without compaction
+    assert(keptIds(compacted) == keptIds(flat))
+    assert(rejectStages(compacted) == rejectStages(flat))
+    assert(keptIds(compacted) == (0 until 8).map(i => 10L * i + 1).toSet)
+    (4 until 8).foreach { i =>
+      assert(rejectStages(compacted)(10L * i + 2) == "exact_dup")
+      assert(rejectStages(compacted)(10L * i + 3) == "near_dup")
+    }
+
+    // listing growth is bounded: at most maxIndexDeltas + 1 delta dirs
+    // survive any batch, and a compacted base generation exists
+    def deltaDirs(root: String): Int = {
+      val d = new java.io.File(s"$root/deltas")
+      if (!d.exists) 0 else d.listFiles.count(_.getName.startsWith("batch_id="))
+    }
+    for (idx <- Seq(StreamingPipeline.hashIndexPath(compacted),
+        StreamingPipeline.sigIndexPath(compacted))) {
+      assert(deltaDirs(idx) <= 3, s"deltas unbounded at $idx: ${deltaDirs(idx)}")
+      assert(new java.io.File(s"$idx/base/CURRENT").exists, s"no base at $idx")
+    }
+    assert(deltaDirs(StreamingPipeline.sigIndexPath(flat)) == 8) // the old growth, for contrast
+
+    // full index contents agree across layouts
+    assert(StreamingPipeline.hashIndex(spark, compacted)
+      .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      StreamingPipeline.hashIndex(spark, flat)
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+
+    // crash mid-compaction model: a generation written but CURRENT not
+    // flipped is an invisible orphan (gen-7 here — the id a compaction
+    // crashing during batch 7 would leave; CURRENT still names gen-6) —
+    // replaying the last batch on top of it must leave every decision
+    // unchanged
+    val orphan = new java.io.File(
+      s"${StreamingPipeline.sigIndexPath(compacted)}/base/gen-7/part-orphan")
+    orphan.getParentFile.mkdirs()
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    val (keptBefore, stagesBefore) = (keptIds(compacted), rejectStages(compacted))
+    StreamingPipeline.processBatch(spark,
+      batchDocs(7).toDF("doc_id", "text", "source"), 7L, compacted, p.copy(maxIndexDeltas = 2))
+    assert(keptIds(compacted) == keptBefore)
+    assert(rejectStages(compacted) == stagesBefore)
   }
 
   test("streaming wiring: AvailableNow over a growing directory, checkpoint resumes") {
