@@ -150,16 +150,39 @@ object Bench {
         -1.0
       }
 
-    Queries.defs.foreach { case (name, d) =>
-      // a failed query records -1 (excluded from the total below), never
-      // its time-to-failure — a partially failed run must not read clean
-      results(name) =
-        try time(d.fn(spark, sfDir).count())
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+    // the battery runs >= 2 full passes and reports the per-query MIN:
+    // host-load bursts arrive MID-run on this box (they only ever
+    // inflate), so a single pass can't defend its numbers — round 4's
+    // artifact read 10-25% above the quiet minima and the reconciliation
+    // lived in BASELINE.md prose instead of the JSON (round-4 VERDICT).
+    // Per-pass totals and a per-pass load reading make any residual
+    // inflation attributable from the artifact alone.
+    val batteryPasses = sys.env.getOrElse("SPARK_GRAFT_BATTERY_PASSES", "2").toInt
+    val passTotals = scala.collection.mutable.ArrayBuffer[Double]()
+    val passLoads = scala.collection.mutable.ArrayBuffer[Double]()
+    for (_ <- 0 until batteryPasses) {
+      passLoads += loadAvg()
+      val tPass0 = System.nanoTime()
+      Queries.defs.foreach { case (name, d) =>
+        // a failed query records -1 (excluded from the total below), never
+        // its time-to-failure — a partially failed run must not read clean;
+        // a failure in one pass must not shadow a clean reading in another
+        val t =
+          try time(d.fn(spark, sfDir).count())
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+          }
+        results(name) = results.get(name) match {
+          case Some(prev) if t < 0 => prev
+          case Some(prev) if prev >= 0 => math.min(prev, t)
+          case _ => t
         }
+      }
+      passTotals += (System.nanoTime() - tPass0) / 1e9
+      // each pass starts cache-cold at the Spark level (page cache stays
+      // warm — that IS the protocol: bursts inflate, warmth is steady)
+      spark.catalog.clearCache()
     }
-    spark.catalog.clearCache() // release the battery's persisted LSH tables
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -177,7 +200,9 @@ object Bench {
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     val loadEnd = loadAvg()
     val loadJson = loadAttempts.map(l => f"$l%.2f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","seq_per_sec":$seqPerSec%.0f,"suite_runs_sec":$runsJson,"suite_gc_sec":$gcJson,"heap_max_gb":$heapGb%.1f,"warm_gt_cold":$warmGtCold,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"load_attempts":$loadJson,"q40_index_built":$q40Built}""")
+    val passJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val passLoadJson = passLoads.map(l => f"$l%.2f").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","seq_per_sec":$seqPerSec%.0f,"suite_runs_sec":$runsJson,"suite_gc_sec":$gcJson,"heap_max_gb":$heapGb%.1f,"warm_gt_cold":$warmGtCold,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"load_attempts":$loadJson,"battery_passes":$batteryPasses,"battery_pass_sec":$passJson,"battery_pass_load":$passLoadJson,"q40_index_built":$q40Built}""")
     spark.stop()
   }
 }
