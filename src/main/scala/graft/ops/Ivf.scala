@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -182,9 +181,14 @@ object Ivf {
   * candidate costs one fused multiply-add pass. Ties break to the lowest
   * cell index. Null elements contribute 0 (treated as missing mass);
   * an empty vector lands in the cell with the smallest |c_i|^2.
+  *
+  * Codegen: the loop lives in the static [[NearestCell.compute]]; the
+  * plan-time centroid and half-norm tables ride into the generated code
+  * as reference objects, so the assignment projection stays inside
+  * whole-stage codegen (A/B in BENCH/CODEGEN.md).
   */
 case class NearestCell(child: Expression, centroids: Seq[Seq[Float]])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   require(centroids.nonEmpty, "need at least one centroid")
 
   override def dataType: DataType = IntegerType
@@ -196,8 +200,28 @@ case class NearestCell(child: Expression, centroids: Seq[Seq[Float]])
   private lazy val halfNormSq: Array[Double] =
     cents.map(c => 0.5 * c.map(x => x * x).sum)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    NearestCell.compute(input.asInstanceOf[ArrayData], cents, halfNormSq, isFloat)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val centsRef = ctx.addReferenceObj("nearestCellCents", cents, "double[][]")
+    val normsRef = ctx.addReferenceObj("nearestCellNorms", halfNormSq, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.ops.NearestCell.compute($c, $centsRef, $normsRef, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_cell"
+}
+
+object NearestCell {
+  /** One-loop body shared by eval and the generated code. */
+  def compute(arr: ArrayData, cents: Array[Array[Double]],
+              halfNormSq: Array[Double], isFloat: Boolean): Int = {
     val n = arr.numElements()
     var best = 0
     var bestScore = Double.NegativeInfinity
@@ -220,8 +244,4 @@ case class NearestCell(child: Expression, centroids: Seq[Seq[Float]])
     }
     best
   }
-
-  override protected def withNewChildInternal(newChild: Expression): NearestCell =
-    copy(child = newChild)
-  override def prettyName: String = "nearest_cell"
 }

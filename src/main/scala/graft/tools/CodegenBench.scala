@@ -111,6 +111,16 @@ object CodegenBench {
       vecs.select(graft.ops.RhpSignature.rhp_signature(col("va"), 8, 7L).as("sig"))
         .agg(decSum(col("sig"))).collect()(0).get(0))
 
+    // the IVF assignment projection at the q30 shape (nlist=16, dim=64) —
+    // the last per-row probe-path expression still on CodegenFallback
+    // after round 4 (VERDICT r04 #7)
+    val cents: Array[Array[Float]] = Array.tabulate(16)(c =>
+      Array.tabulate(64)(j =>
+        (((c * 64L + j) * 2654435761L % 1000) / 500.0 - 1.0).toFloat))
+    best("nearest_cell", nVecs)(
+      vecs.select(graft.ops.Ivf.nearestCell(col("va"), cents).as("c"))
+        .agg(sum(col("c"))).collect()(0).getLong(0))
+
     spans.unpersist()
     spark.stop()
   }

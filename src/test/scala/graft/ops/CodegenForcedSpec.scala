@@ -47,7 +47,10 @@ class CodegenForcedSpec extends AnyFunSuite {
       .orderBy(col("census.n_chars"))
     val v = vecsDf.select(
       Similarity.cosine(col("va"), col("vb")).as("cos"),
-      Similarity.rhpSignature(col("va"), 6, 7L).as("rhp"))
+      Similarity.rhpSignature(col("va"), 6, 7L).as("rhp"),
+      Ivf.nearestCell(col("va"), Array(
+        Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+        Array(-1f, -1f, -1f, -1f))).as("cell"))
       .orderBy(col("rhp"))
     val m = Seq(
       (Seq(1, 2, 3), 3), (Seq(1, -5, 3), 2), (Seq.empty[Int], 0))
