@@ -12,12 +12,13 @@ import org.apache.spark.sql.functions._
   * A growing per-batch time here would mean some stage re-reads the
   * corpus proportionally — the regression this tool exists to catch.
   *
-  * Usage: runMain graft.tools.StreamBench [inputDir] [batches]
+  * Usage: runMain graft.tools.StreamBench [inputDir] [batches] [maxIndexDeltas]
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val input = if (args.nonEmpty) args(0) else "target/codegenbench-docs"
     val batches = if (args.length > 1) args(1).toInt else 5
+    val maxDeltas = if (args.length > 2) args(2).toInt else 16
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,7 +34,7 @@ object StreamBench {
     val withSource =
       if (docs.columns.contains("source")) docs
       else docs.withColumn("source", lit("s"))
-    val p = graft.streaming.StreamingPipeline.Params()
+    val p = graft.streaming.StreamingPipeline.Params(maxIndexDeltas = maxDeltas)
     var keptSoFar = 0L
     for (b <- 0 until batches) {
       val slice = withSource.filter(pmod(col("doc_id"), lit(batches)) === b)
