@@ -62,10 +62,10 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     try cmd match {
       case "synth" =>
-        val cfg = SequenceSynth.Config(rows = opts.getOrElse("rows", "100000").toLong)
-        val out = opts.getOrElse("out", "data/sequences")
+        val cfg = SequenceSynth.Config(rows = flagOr(opts, "rows", "100000").toLong)
+        val out = flagOr(opts, "out", "data/sequences")
         SequenceSynth.write(spark, cfg, out,
-          buckets = opts.getOrElse("buckets", "8").toInt)
+          buckets = flagOr(opts, "buckets", "8").toInt)
         SequenceSynth.sourcesDim(spark, cfg).write.mode("overwrite")
           .parquet(s"$out-dim")
         println(s"Wrote ${cfg.rows} sequences to $out (dim at $out-dim).")
@@ -73,7 +73,7 @@ object Main {
 
       case "validate" =>
         val input = opts("input")
-        val dim = spark.read.parquet(opts.getOrElse("dim", s"$input-dim"))
+        val dim = spark.read.parquet(flagOr(opts, "dim", s"$input-dim"))
         val cfg = Validator.SuiteConfig()
         val t0 = System.nanoTime()
         val summary = opts.get("state") match {
@@ -116,7 +116,7 @@ object Main {
         // distributed analyze-json-schema (reference core.clj:57-67) over
         // JSONL files/globs
         val policy: graft.types.MergePolicy =
-          if (opts.getOrElse("analysis", "comprehensive") == "simple")
+          if (flagOr(opts, "analysis", "comprehensive") == "simple")
             graft.types.SimplifyMerge else graft.types.StrictMerge
         val dateFormats = opts.get("date-format").toSeq
         val res = graft.ingest.JsonSchemaInference.inferFiles(
@@ -132,8 +132,8 @@ object Main {
         // "incremental batch" deployment (schedule reruns; each picks up
         // only new files). --follow runs an always-on daemon.
         val input = opts("input")
-        val statePath = opts.getOrElse("state", s"$input-stream-state")
-        val dim = spark.read.parquet(opts.getOrElse("dim", s"$input-dim"))
+        val statePath = flagOr(opts, "state", s"$input-stream-state")
+        val dim = spark.read.parquet(flagOr(opts, "dim", s"$input-dim"))
         val trigger =
           if (opts.contains("follow"))
             org.apache.spark.sql.streaming.Trigger.ProcessingTime(
@@ -160,12 +160,12 @@ object Main {
         // the full training-data preparation chain (graft.ops.Pipeline)
         // over a documents table (doc_id, text, source); writes the kept,
         // packed corpus and prints the per-stage funnel
-        val out = opts.getOrElse("out", s"${opts("input")}-pipeline")
+        val out = flagOr(opts, "out", s"${opts("input")}-pipeline")
         val cfg = graft.ops.Pipeline.Config(
           evalSources = opts.get("eval-sources")
             .map(_.split(",").toSeq).getOrElse(Nil),
-          jaccardThreshold = opts.getOrElse("jaccard", "0.8").toDouble,
-          budget = opts.getOrElse("budget", "4096").toInt)
+          jaccardThreshold = flagOr(opts, "jaccard", "0.8").toDouble,
+          budget = flagOr(opts, "budget", "4096").toInt)
         val res = graft.ops.Pipeline.run(spark.read.parquet(opts("input")), cfg)
         res.packed.write.mode("overwrite").parquet(s"$out/packs")
         res.kept.write.mode("overwrite").parquet(s"$out/docs")
@@ -182,9 +182,9 @@ object Main {
         // EVERY copy), rewrite the texts with the spans removed, report
         // the byte reduction
         val input = opts("input")
-        val out = opts.getOrElse("out", s"$input-cut")
-        val window = opts.getOrElse("window", "8").toInt
-        val maxDf = opts.getOrElse("max-window-df", Long.MaxValue.toString).toLong
+        val out = flagOr(opts, "out", s"$input-cut")
+        val window = flagOr(opts, "window", "8").toInt
+        val maxDf = flagOr(opts, "max-window-df", Long.MaxValue.toString).toLong
         val docs = spark.read.parquet(input)
         val spans = graft.ops.DupSpans.dupSpansKeepFirstH(
           docs, "text", "doc_id", window, maxDf)
@@ -211,7 +211,7 @@ object Main {
         // AvailableNow by default (the scheduled rerun deployment);
         // --follow <interval> runs the always-on daemon, like `stream`
         val input = opts("input")
-        val statePath = opts.getOrElse("state", s"$input-dedup-state")
+        val statePath = flagOr(opts, "state", s"$input-dedup-state")
         val schema = scala.util.Try(spark.read.parquet(input).schema).toOption
         if (schema.isEmpty)
           println(s"No parquet files under $input yet; nothing to mine.")
@@ -223,7 +223,7 @@ object Main {
             else org.apache.spark.sql.streaming.Trigger.AvailableNow()
           val q = graft.streaming.StreamingDedup.start(spark, input, statePath,
             graft.streaming.StreamingDedup.Params(
-              minJaccard = opts.getOrElse("jaccard", "0.5").toDouble),
+              minJaccard = flagOr(opts, "jaccard", "0.5").toDouble),
             trigger, schema)
           q.awaitTermination()
           val n = scala.util.Try(spark.read.parquet(
@@ -238,7 +238,7 @@ object Main {
         // deployment over a growing documents directory
         // (graft.streaming.StreamingPipeline)
         val input = opts("input")
-        val statePath = opts.getOrElse("state", s"$input-pipeline-state")
+        val statePath = flagOr(opts, "state", s"$input-pipeline-state")
         val schema = scala.util.Try(spark.read.parquet(input).schema).toOption
         if (schema.isEmpty)
           println(s"No parquet files under $input yet; nothing to process.")
@@ -250,8 +250,8 @@ object Main {
             else org.apache.spark.sql.streaming.Trigger.AvailableNow()
           val q = graft.streaming.StreamingPipeline.start(spark, input, statePath,
             graft.streaming.StreamingPipeline.Params(
-              minJaccardEst = opts.getOrElse("est-jaccard", "0.2").toDouble,
-              jaccardThreshold = opts.getOrElse("jaccard", "0.8").toDouble),
+              minJaccardEst = flagOr(opts, "est-jaccard", "0.2").toDouble,
+              jaccardThreshold = flagOr(opts, "jaccard", "0.8").toDouble),
             trigger, schema)
           q.awaitTermination()
           def cnt(p: String): Long =

@@ -112,6 +112,21 @@ object Multimodal {
     * byte arrays.
     */
   object ImageIoDecoder extends Decoder {
+    // JVM-global, hoisted to object init (once per executor JVM): the
+    // default on-disk stream cache would write a temp file per image
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Decode-bomb guard: headers are UNTRUSTED, and ImageIO.read
+      * allocates the full raster from header-claimed dimensions before
+      * any pixel parsing can fail (a "BM"-prefixed garbage payload
+      * claims ~2^30-pixel dimensions from its ASCII bytes — the
+      * resulting OutOfMemoryError is a VirtualMachineError that escapes
+      * a NonFatal catch and kills the task). Dimensions are read via the
+      * reader's header parse FIRST; anything over this cap (16.7M px =
+      * 4096x4096, ~64 MB ARGB) is an error-channel row.
+      */
+    val MaxPixels: Long = 1L << 24
+
     def decode(batch: Seq[(Long, String, Array[Byte])]): Seq[(Long, String, Int, Boolean, Array[Float])] =
       batch.map {
         case (id, kind, bytes) if kind == "image" =>
@@ -120,10 +135,29 @@ object Multimodal {
         case other => FakeDecoder.decode(Seq(other)).head
       }
 
+    /** Header-first read: pick the reader, check claimed dimensions
+      * against [[MaxPixels]], only then decode pixels. Returns null for
+      * unclaimed/oversized/failing payloads.
+      */
+    private def readImageBounded(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val (w, h) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
+          if (w <= 0 || h <= 0 || w * h > MaxPixels) null
+          else reader.read(0)
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+
     private def decodeImage(id: Long, kind: String, bytes: Array[Byte]) =
       try {
-        javax.imageio.ImageIO.setUseCache(false)
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        val img = readImageBounded(bytes)
         if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
           (id, kind, bytes.length, false, null: Array[Float])
         else {

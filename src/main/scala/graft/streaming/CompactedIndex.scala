@@ -22,17 +22,28 @@ import org.apache.spark.sql.functions._
   *
   * Layout under `root`:
   * {{{
-  *   root/deltas/batch_id=N/[sub=.../]   one partition per batch
-  *   root/base/gen-N/[sub=.../]          compacted generations
-  *   root/base/CURRENT                   "gen-N <watermark>"
+  *   root/deltas/batch_id=N/[sub=.../]        one partition per batch
+  *   root/base/gen-N/[sub=.../]               compacted generations
+  *   root/base/gen-N/_GRAFT_COMMITTED         marker: generation is live
   * }}}
-  * The CURRENT pointer names the live generation and the WATERMARK: the
-  * base covers every batch_id <= watermark. A probe reads
-  * base(CURRENT) ∪ deltas(batch_id > watermark), minus the excluded
-  * batch. Crash anywhere is safe: a half-written generation is invisible
-  * until the pointer flips (the [[StreamingValidator]] two-generation
-  * pattern), and stale delta partitions left by a crashed prune are
-  * ignored by the watermark filter and swept by the next prune.
+  * A generation named `gen-N` covers every batch_id <= N-1 (its
+  * WATERMARK — encoded in the name, no pointer content to parse). The
+  * live generation is the highest-numbered COMMITTED one; commit is the
+  * creation of the empty marker file, the LAST step of a compaction.
+  * A probe reads base(live) ∪ deltas(batch_id > watermark), minus the
+  * excluded batch.
+  *
+  * Crash anywhere is safe BY EXISTENCE, never by file content: a
+  * generation without its marker is invisible (a crashed fold is
+  * re-overwritten or garbage-collected by a later prune — an earlier
+  * design flipped a mutable CURRENT pointer file, whose non-atomic
+  * truncate-then-write could corrupt the index permanently); a replayed
+  * compaction of an already-committed generation is a no-op (its deltas
+  * are already below the watermark); stale delta partitions left by a
+  * crashed prune are filtered by the watermark and swept by the next
+  * prune. Retention keeps the TWO highest committed generations so an
+  * external reader that resolved the live generation just before a
+  * commit can still finish reading it.
   *
   * `batch_id` leads the delta partitioning (sub-keys nest under it) so
   * the delta count needs ONE directory listing; in the base, batch_id is
@@ -42,26 +53,32 @@ private[graft] object CompactedIndex {
 
   def deltasPath(root: String) = s"$root/deltas"
   def basePath(root: String) = s"$root/base"
-  private def currentPtr(root: String) = new Path(s"${basePath(root)}/CURRENT")
+  private val Marker = "_GRAFT_COMMITTED"
 
   /** (live generation dir name if any, highest batch_id folded into it). */
   final case class State(gen: Option[String], watermark: Long)
 
-  def readState(fs: FileSystem, root: String): State = {
-    val ptr = currentPtr(root)
-    if (!fs.exists(ptr)) State(None, -1L)
-    else {
-      val in = fs.open(ptr)
-      val s = try scala.io.Source.fromInputStream(in).mkString.trim
-      finally in.close()
-      val parts = s.split(' ')
-      State(Some(parts(0)), parts(1).toLong)
-    }
+  /** Numbers of committed generations, ascending. */
+  private def committedGens(fs: FileSystem, root: String): Seq[Long] = {
+    val base = fs.makeQualified(new Path(basePath(root)))
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-") &&
+        fs.exists(new Path(s.getPath, Marker)))
+      .map(_.getPath.getName.stripPrefix("gen-").toLong)
+      .sorted
   }
 
-  /** True iff the index has any content (deltas or a compacted base). */
+  def readState(fs: FileSystem, root: String): State =
+    committedGens(fs, root).lastOption match {
+      case None => State(None, -1L)
+      case Some(n) => State(Some(s"gen-$n"), n - 1)
+    }
+
+  /** True iff the index has any content (deltas or a committed base). */
   def nonEmpty(fs: FileSystem, root: String): Boolean =
-    StateFs.nonEmptyDir(fs, deltasPath(root)) || fs.exists(currentPtr(root))
+    StateFs.nonEmptyDir(fs, deltasPath(root)) ||
+      committedGens(fs, root).nonEmpty
 
   /** The index contents visible to batch `excludeBatchId`'s probe. None
     * when the index is empty. batch_id is cast to long on both sides
@@ -69,7 +86,6 @@ private[graft] object CompactedIndex {
     */
   def read(spark: SparkSession, fs: FileSystem, root: String,
            excludeBatchId: Long): Option[DataFrame] = {
-    if (!nonEmpty(fs, root)) return None
     val st = readState(fs, root)
     val deltas =
       if (!StateFs.nonEmptyDir(fs, deltasPath(root))) None
@@ -111,9 +127,9 @@ private[graft] object CompactedIndex {
     * once more than `maxDeltas` have accumulated since the watermark.
     * Called at the END of batch `batchId`, AFTER its append; the running
     * batch's own delta is never folded (see self-exclusion above). The
-    * new generation is written fully, then the CURRENT pointer flips,
-    * then folded deltas and all but the previous generation are pruned
-    * (both deletions are safe to crash out of).
+    * new generation is written fully, then committed by its marker, then
+    * folded deltas and dead generations are pruned (every deletion is
+    * safe to crash out of).
     */
   def maybeCompact(spark: SparkSession, fs: FileSystem, root: String,
                    batchId: Long, maxDeltas: Int,
@@ -132,26 +148,35 @@ private[graft] object CompactedIndex {
         spark.read.parquet(s"${basePath(root)}/$g")
           .withColumn("batch_id", col("batch_id").cast("long")))
     }
-    val newGen = s"gen-$batchId"
+    val genDir = s"${basePath(root)}/gen-$batchId"
     val writer = folded.write.mode("overwrite")
     (if (subPartitionCols.nonEmpty) writer.partitionBy(subPartitionCols: _*)
-     else writer).parquet(s"${basePath(root)}/$newGen")
+     else writer).parquet(genDir)
+    // the commit: marker existence IS the committed state (created after
+    // the data is fully written; overwrite above wipes any stale marker
+    // from a crashed earlier attempt first)
+    fs.create(new Path(genDir, Marker), true).close()
 
-    val out = fs.create(currentPtr(root), true)
-    try out.write(s"$newGen ${batchId - 1}".getBytes("UTF-8"))
-    finally out.close()
-
-    // prune AFTER the flip: folded deltas (now <= watermark, invisible)
-    // and generations older than the previous one (an external reader
-    // that resolved CURRENT just before the flip can still finish)
+    // prune AFTER the commit: folded deltas (now <= watermark, invisible),
+    // committed generations beyond the two newest (an external reader
+    // that resolved the live generation just before this commit can
+    // still finish), and UNCOMMITTED generations older than this batch
+    // (crashed folds whose writer batch has finished — they can never be
+    // committed; keeping two committed gens by COMMIT state, not by
+    // number, means an orphan can't displace a real generation)
     deltaBatchIds(fs, root).filter(_ <= batchId - 1).foreach { id =>
       fs.delete(new Path(s"${deltasPath(root)}/batch_id=$id"), true)
     }
-    val gens = fs.listStatus(new Path(basePath(root)))
+    val committed = committedGens(fs, root)
+    val keep = committed.takeRight(2).map(n => s"gen-$n").toSet
+    fs.listStatus(new Path(basePath(root)))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
-    val keep = gens.map(_.getPath.getName.stripPrefix("gen-").toLong)
-      .sorted.takeRight(2).map(i => s"gen-$i").toSet
-    gens.filter(s => !keep.contains(s.getPath.getName))
-      .foreach(s => fs.delete(s.getPath, true))
+      .foreach { s =>
+        val name = s.getPath.getName
+        val n = name.stripPrefix("gen-").toLong
+        val isCommitted = committed.contains(n)
+        if ((isCommitted && !keep.contains(name)) || (!isCommitted && n < batchId))
+          fs.delete(s.getPath, true)
+      }
   }
 }

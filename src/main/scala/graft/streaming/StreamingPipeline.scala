@@ -14,9 +14,11 @@ import graft.ops.{IncrementalDedup, QualityFilter, Redaction}
   * scrubbed, exact-deduplicated and near-deduplicated against everything
   * KEPT so far (keep-first policy), then appended to the train corpus.
   * Per-batch cost is proportional to the batch, never the corpus: the
-  * prior corpus is only touched through its two persisted indexes (the
+  * prior corpus is touched only through its two persisted indexes (the
   * content-hash index and the banded minhash signature index), both
-  * probed with batch-sized join sides.
+  * probed with batch-sized join sides, plus a BOUNDED id-pushed read of
+  * train/ text for the pair-touched rerank (at most 2x the bucket-capped
+  * candidate count of ids, pushed into the parquet scan).
   *
   * Keep-first semantics (deterministic): a batch document is dropped as
   * a near-duplicate iff it has a CONFIRMED pair — an LSH candidate
@@ -49,6 +51,12 @@ import graft.ops.{IncrementalDedup, QualityFilter, Redaction}
   * batch is never folded, so the exclusion survives compaction).
   */
 object StreamingPipeline {
+
+  /** Largest prior-side id set pushed into the rerank's train scan as an
+    * In filter; beyond it (degenerate pair explosions only — pairs are
+    * bucket-capped) the rerank falls back to a full-scan semi-join.
+    */
+  private val MaxRerankPushdownIds = 100000
 
   def trainPath(statePath: String) = s"$statePath/train"
   def rejectsPath(statePath: String) = s"$statePath/rejects"
@@ -149,23 +157,6 @@ object StreamingPipeline {
           sigIndexPath(statePath), batchId)
         val cands = IncrementalDedup.candidatePairs(fresh, priorSigs,
           p.perms, p.minJaccardEst, p.maxBucket)
-        // rerank the estimator candidates on exact n-gram Jaccard — the
-        // SAME drop decision as batch Pipeline.run. Pair text is durably
-        // at hand on both sides: batch ids from the micro-batch, prior
-        // KEPT ids from train/ (excluding own batch_id — a replay that
-        // crashed after the train write must not rerank against itself;
-        // candidate ids can't reference own-batch train rows anyway since
-        // the sig probe excludes them). ngramJaccardH semi-joins the pool
-        // down to pair-touched ids before shingling, so the rerank scales
-        // with the (bucket-capped) candidate set, not the corpus.
-        val textPool = {
-          val batchTexts = afterExact.select(col("doc_id"), col("text"))
-          if (!have(trainPath(statePath))) batchTexts
-          else batchTexts.unionByName(
-            spark.read.parquet(trainPath(statePath))
-              .filter(col("batch_id") =!= batchId)
-              .select(col("doc_id"), col("text")))
-        }
         // the candidate set is tiny (bucket-capped) but its LOGICAL plan
         // embeds the whole mining join, and the rerank replays that plan
         // three times (id prune + both text joins) inside every
@@ -176,6 +167,44 @@ object StreamingPipeline {
         // batch, and the batch is replay-idempotent by construction.
         val pairIds = cands.select(col("id_a"), col("id_b"))
           .localCheckpoint(true)
+        // rerank the estimator candidates on exact n-gram Jaccard — the
+        // SAME drop decision as batch Pipeline.run. Pair text is durably
+        // at hand on both sides: batch ids from the micro-batch, prior
+        // KEPT ids from train/ (excluding own batch_id — a replay that
+        // crashed after the train write must not rerank against itself;
+        // candidate ids can't reference own-batch train rows anyway since
+        // the sig probe excludes them). The prior-side ids are collected
+        // to the driver (bounded: at most 2x the bucket-capped pair
+        // count) and PUSHED into the train scan — without the pushed
+        // filter the rerank's semi-join still SCANNED every kept
+        // document's text each batch (O(corpus) per batch, the exact
+        // regression the header forbids); with it, parquet row-group
+        // stats skip untouched files. A degenerate pair explosion beyond
+        // the push-down cap falls back to the scan-and-semi-join shape
+        // instead of building a pathological In filter.
+        val textPool = {
+          val batchTexts = afterExact.select(col("doc_id"), col("text"))
+          if (!have(trainPath(statePath))) batchTexts
+          else {
+            val touched = pairIds.select(col("id_a").as("id"))
+              .unionByName(pairIds.select(col("id_b").as("id"))).distinct()
+            val priorTouched = touched
+              .join(afterExact.select(col("doc_id").as("id")), Seq("id"), "left_anti")
+              .collect().map(_.getLong(0))
+            if (priorTouched.isEmpty) batchTexts
+            else {
+              val train = spark.read.parquet(trainPath(statePath))
+                .filter(col("batch_id") =!= batchId)
+              val priorTexts =
+                if (priorTouched.length <= MaxRerankPushdownIds)
+                  train.filter(col("doc_id")
+                    .isin(priorTouched.toSeq.map(Long.box): _*))
+                else train
+              batchTexts.unionByName(
+                priorTexts.select(col("doc_id"), col("text")))
+            }
+          }
+        }
         val reranked = graft.ops.Dedup.ngramJaccardH(textPool, pairIds,
           "text", "doc_id", p.shingleK)
         try {

@@ -186,41 +186,61 @@ object StreamingValidator {
     }
   }
 
+  private val Marker = "_GRAFT_COMMITTED"
+
+  /** Numbers of committed stats generations, ascending. Commit state is
+    * marker EXISTENCE inside the generation dir, never the content of a
+    * mutable pointer file: the earlier CURRENT-pointer flip used
+    * truncate-then-write, so a crash mid-flip left an empty/truncated
+    * pointer and corrupted the state permanently (round-5 review).
+    */
+  private def committedGens(fs: org.apache.hadoop.fs.FileSystem,
+                            statePath: String): Seq[Long] = {
+    val base = fs.makeQualified(new org.apache.hadoop.fs.Path(statsPath(statePath)))
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, Marker)))
+      .map(_.getPath.getName.stripPrefix("gen-").toLong)
+      .sorted
+  }
+
   private def writeStats(spark: SparkSession, statePath: String,
                          batchId: Long, stats: Array[Row]): Unit = {
     val df = Validator.statsToDf(spark, stats).withColumn("last_batch_id", lit(batchId))
-    // two-generation layout: write the new generation, then flip a tiny
-    // pointer file — readers never see a half-written directory
+    // two-generation layout: write the new generation fully, then commit
+    // it by creating its marker — readers never see a half-written
+    // directory, and a crashed write leaves an invisible (markerless)
+    // orphan that the next prune removes
     val gen = s"${statsPath(statePath)}/gen-$batchId"
     df.coalesce(1).write.mode("overwrite").parquet(gen)
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ptr = new org.apache.hadoop.fs.Path(s"${statsPath(statePath)}/CURRENT")
-    val out = fs.create(ptr, true)
-    out.write(s"gen-$batchId".getBytes("UTF-8")); out.close()
-    // keep the current AND previous generation, delete older ones: state
-    // stays O(1), and an external reader that resolved CURRENT just before
-    // this flip can still read the directory it points at (deleting
-    // immediately would race such readers; two generations preserve the
-    // pointer-flip guarantee the layout exists for)
-    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(statsPath(statePath)))
+    fs.create(new org.apache.hadoop.fs.Path(s"$gen/$Marker"), true).close()
+    // keep the current AND previous COMMITTED generation, delete older
+    // committed ones and dead uncommitted orphans: state stays O(1), and
+    // an external reader that resolved the live generation just before
+    // this commit can still read it
+    val committed = committedGens(fs, statePath)
+    val keep = committed.takeRight(2).map(i => s"gen-$i").toSet
+    fs.listStatus(new org.apache.hadoop.fs.Path(statsPath(statePath)))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
-    val keep = gens.map(_.getPath.getName.stripPrefix("gen-").toLong)
-      .sorted.takeRight(2).map(i => s"gen-$i").toSet
-    gens.filter(s => !keep.contains(s.getPath.getName))
-      .foreach(s => fs.delete(s.getPath, true))
+      .foreach { s =>
+        val name = s.getPath.getName
+        val n = name.stripPrefix("gen-").toLong
+        val isCommitted = committed.contains(n)
+        if ((isCommitted && !keep.contains(name)) || (!isCommitted && n < batchId))
+          fs.delete(s.getPath, true)
+      }
   }
 
   def readStats(spark: SparkSession, statePath: String): Option[(Long, Array[Row])] = {
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ptr = new org.apache.hadoop.fs.Path(s"${statsPath(statePath)}/CURRENT")
-    if (!fs.exists(ptr)) return None
-    val in = fs.open(ptr)
-    val gen = scala.io.Source.fromInputStream(in).mkString.trim
-    in.close()
-    val df = spark.read.parquet(s"${statsPath(statePath)}/$gen")
-    val batchId = df.select(col("last_batch_id")).head().getLong(0)
-    Some((batchId, df.drop("last_batch_id").collect()))
+    committedGens(fs, statePath).lastOption.map { n =>
+      val df = spark.read.parquet(s"${statsPath(statePath)}/gen-$n")
+      val batchId = df.select(col("last_batch_id")).head().getLong(0)
+      (batchId, df.drop("last_batch_id").collect())
+    }
   }
 }

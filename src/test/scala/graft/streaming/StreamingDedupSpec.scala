@@ -76,8 +76,10 @@ class StreamingDedupSpec extends AnyFunSuite {
     val deltaRoot = new java.io.File(
       s"${StreamingDedup.indexPath(compacted)}/deltas")
     assert(deltaRoot.listFiles.count(_.getName.startsWith("batch_id=")) <= 2)
-    assert(new java.io.File(
-      s"${StreamingDedup.indexPath(compacted)}/base/CURRENT").exists)
+    val baseDir = new java.io.File(s"${StreamingDedup.indexPath(compacted)}/base")
+    assert(baseDir.exists && baseDir.listFiles.exists(d =>
+      d.getName.startsWith("gen-") &&
+        new java.io.File(d, "_GRAFT_COMMITTED").exists))
 
     // replay of the last batch after compaction: state unchanged, index
     // still holds each doc's signatures exactly once

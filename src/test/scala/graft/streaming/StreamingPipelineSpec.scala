@@ -300,10 +300,16 @@ class StreamingPipelineSpec extends AnyFunSuite {
       val d = new java.io.File(s"$root/deltas")
       if (!d.exists) 0 else d.listFiles.count(_.getName.startsWith("batch_id="))
     }
+    def hasCommittedBase(root: String): Boolean = {
+      val b = new java.io.File(s"$root/base")
+      b.exists && b.listFiles.exists(d =>
+        d.getName.startsWith("gen-") &&
+          new java.io.File(d, "_GRAFT_COMMITTED").exists)
+    }
     for (idx <- Seq(StreamingPipeline.hashIndexPath(compacted),
         StreamingPipeline.sigIndexPath(compacted))) {
       assert(deltaDirs(idx) <= 3, s"deltas unbounded at $idx: ${deltaDirs(idx)}")
-      assert(new java.io.File(s"$idx/base/CURRENT").exists, s"no base at $idx")
+      assert(hasCommittedBase(idx), s"no committed base at $idx")
     }
     assert(deltaDirs(StreamingPipeline.sigIndexPath(flat)) == 8) // the old growth, for contrast
 
@@ -313,11 +319,11 @@ class StreamingPipelineSpec extends AnyFunSuite {
       StreamingPipeline.hashIndex(spark, flat)
         .select("doc_id").collect().map(_.getLong(0)).toSet)
 
-    // crash mid-compaction model: a generation written but CURRENT not
-    // flipped is an invisible orphan (gen-7 here — the id a compaction
-    // crashing during batch 7 would leave; CURRENT still names gen-6) —
-    // replaying the last batch on top of it must leave every decision
-    // unchanged
+    // crash mid-compaction model: a generation written but never
+    // COMMITTED (no _GRAFT_COMMITTED marker) is an invisible orphan
+    // (gen-7 here — the id a compaction crashing during batch 7 would
+    // leave; gen-6 stays the live committed generation) — replaying the
+    // last batch on top of it must leave every decision unchanged
     val orphan = new java.io.File(
       s"${StreamingPipeline.sigIndexPath(compacted)}/base/gen-7/part-orphan")
     orphan.getParentFile.mkdirs()
