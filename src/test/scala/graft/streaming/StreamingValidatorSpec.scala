@@ -110,8 +110,9 @@ class StreamingValidatorSpec extends AnyFunSuite {
     assert(merged.map(_.getAs[Long]("n_rows")).sum ==
       2 * once.map(_.getAs[Long]("n_rows")).sum)
 
-    // generation GC keeps current + previous (a reader that resolved
-    // CURRENT just before the flip can still read it), evicts older
+    // generation GC keeps current + previous COMMITTED (a reader that
+    // resolved the live generation just before a commit can still read
+    // it), evicts older
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def gens() = fs.listStatus(new org.apache.hadoop.fs.Path(
