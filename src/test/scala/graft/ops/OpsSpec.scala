@@ -345,6 +345,21 @@ class OpsSpec extends AnyFunSuite {
       Seq((5L, "audio", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)))).head
     assert(out(5L).getAs[Boolean]("ok") == fake._4)
     assert(feat(5L) == fake._5.toSeq)
+
+    // decode-bomb guard: a syntactically valid BMP header CLAIMING
+    // 65536x65536 (2^32 pixels — a multi-GB raster if ImageIO.read ran)
+    // must land in the error channel via the header-first dimension
+    // check, never attempt the allocation
+    val bomb = new Array[Byte](54)
+    bomb(0) = 'B'; bomb(1) = 'M'
+    bomb(10) = 54          // pixel data offset
+    bomb(14) = 40          // BITMAPINFOHEADER size
+    bomb(20) = 1           // width  = 0x00010000 (65536, little-endian)
+    bomb(24) = 1           // height = 0x00010000
+    bomb(26) = 1           // planes
+    bomb(28) = 24          // bits per pixel
+    val bombOut = Multimodal.ImageIoDecoder.decode(Seq((9L, "image", bomb))).head
+    assert(!bombOut._4 && bombOut._3 == 54 && bombOut._5 == null)
   }
 
   test("multimodal resize + frame sampling: schema contract, determinism, corrupt channel") {
