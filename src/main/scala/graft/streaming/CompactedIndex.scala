@@ -41,9 +41,10 @@ import org.apache.spark.sql.functions._
   * compaction of an already-committed generation is a no-op (its deltas
   * are already below the watermark); stale delta partitions left by a
   * crashed prune are filtered by the watermark and swept by the next
-  * prune. Retention keeps the TWO highest committed generations so an
-  * external reader that resolved the live generation just before a
-  * commit can still finish reading it.
+  * prune. Retention keeps the TWO highest committed generations AND the
+  * just-folded deltas for one extra cycle, so an external reader that
+  * resolved the live generation (or the old watermark) just before a
+  * commit can still finish reading everything its plan references.
   *
   * `batch_id` leads the delta partitioning (sub-keys nest under it) so
   * the delta count needs ONE directory listing; in the base, batch_id is
@@ -53,14 +54,21 @@ private[graft] object CompactedIndex {
 
   def deltasPath(root: String) = s"$root/deltas"
   def basePath(root: String) = s"$root/base"
-  private val Marker = "_GRAFT_COMMITTED"
+
+  /** Marker whose EXISTENCE inside a generation dir commits it (shared
+    * with [[StreamingValidator]]'s stats generations).
+    */
+  private[streaming] val Marker = "_GRAFT_COMMITTED"
 
   /** (live generation dir name if any, highest batch_id folded into it). */
   final case class State(gen: Option[String], watermark: Long)
 
-  /** Numbers of committed generations, ascending. */
-  private def committedGens(fs: FileSystem, root: String): Seq[Long] = {
-    val base = fs.makeQualified(new Path(basePath(root)))
+  /** Numbers of committed `gen-N` dirs under `dir`, ascending (shared
+    * generation-commit machinery — [[StreamingValidator]] uses the same
+    * protocol for its stats state).
+    */
+  private[streaming] def committedGenNumbers(fs: FileSystem, dir: String): Seq[Long] = {
+    val base = fs.makeQualified(new Path(dir))
     if (!fs.exists(base)) Nil
     else fs.listStatus(base).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-") &&
@@ -69,16 +77,81 @@ private[graft] object CompactedIndex {
       .sorted
   }
 
+  /** Commit `gen-N` under `dir` by creating its marker (the LAST step of
+    * a generation write).
+    */
+  private[streaming] def commitGen(fs: FileSystem, dir: String, n: Long): Unit =
+    fs.create(new Path(s"$dir/gen-$n/$Marker"), true).close()
+
+  /** Retention shared by every generation layout: keep the two newest
+    * COMMITTED generations (an external reader that resolved the live one
+    * just before a commit can still finish), delete older committed ones
+    * and dead UNCOMMITTED orphans (crashed folds numbered below the
+    * running batch — their writer is gone, they can never commit; keying
+    * retention on COMMIT state means an orphan can't displace a real
+    * generation from the window).
+    */
+  private[streaming] def pruneGens(fs: FileSystem, dir: String, batchId: Long): Unit = {
+    val committed = committedGenNumbers(fs, dir)
+    val keep = committed.takeRight(2).map(n => s"gen-$n").toSet
+    fs.listStatus(new Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+      .foreach { s =>
+        val name = s.getPath.getName
+        val n = name.stripPrefix("gen-").toLong
+        val isCommitted = committed.contains(n)
+        if ((isCommitted && !keep.contains(name)) || (!isCommitted && n < batchId))
+          fs.delete(s.getPath, true)
+      }
+  }
+
+  private def committedGens(fs: FileSystem, root: String): Seq[Long] =
+    committedGenNumbers(fs, basePath(root))
+
   def readState(fs: FileSystem, root: String): State =
     committedGens(fs, root).lastOption match {
       case None => State(None, -1L)
       case Some(n) => State(Some(s"gen-$n"), n - 1)
     }
 
+  /** A pre-round-5 FLAT index (batch_id= / sub= partitions directly under
+    * the root) must fail LOUDLY: the base+delta reader would otherwise
+    * silently see an empty index and a resumed deployment would stop
+    * deduplicating against its prior corpus.
+    */
+  private def rejectLegacyLayout(fs: FileSystem, root: String): Unit = {
+    val p = fs.makeQualified(new Path(root))
+    if (fs.exists(p) && fs.listStatus(p).exists { s =>
+        val n = s.getPath.getName
+        s.isDirectory && n.contains("=")
+      })
+      sys.error(s"$root holds a pre-compaction FLAT index layout " +
+        "(partition dirs at the root). Rebuild the state, or move the " +
+        s"partitions under $root/deltas/ to migrate.")
+  }
+
+  /** True iff any delta partition holds an actual FILE. A bare
+    * `batch_id=` dir left by a crashed prune (children are deleted before
+    * the dir) or an empty-batch append must not count: feeding a file-less
+    * tree to `spark.read.parquet` fails schema inference, and the probe
+    * runs at the START of a batch — a wedge no replay could clear.
+    */
+  private def deltasHaveFiles(fs: FileSystem, root: String): Boolean = {
+    val p = fs.makeQualified(new Path(deltasPath(root)))
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val n = it.next().getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) return true
+    }
+    false
+  }
+
   /** True iff the index has any content (deltas or a committed base). */
-  def nonEmpty(fs: FileSystem, root: String): Boolean =
-    StateFs.nonEmptyDir(fs, deltasPath(root)) ||
-      committedGens(fs, root).nonEmpty
+  def nonEmpty(fs: FileSystem, root: String): Boolean = {
+    rejectLegacyLayout(fs, root)
+    deltasHaveFiles(fs, root) || committedGens(fs, root).nonEmpty
+  }
 
   /** The index contents visible to batch `excludeBatchId`'s probe. None
     * when the index is empty. batch_id is cast to long on both sides
@@ -86,9 +159,10 @@ private[graft] object CompactedIndex {
     */
   def read(spark: SparkSession, fs: FileSystem, root: String,
            excludeBatchId: Long): Option[DataFrame] = {
+    rejectLegacyLayout(fs, root)
     val st = readState(fs, root)
     val deltas =
-      if (!StateFs.nonEmptyDir(fs, deltasPath(root))) None
+      if (!deltasHaveFiles(fs, root)) None
       else Some(spark.read.parquet(deltasPath(root))
         .withColumn("batch_id", col("batch_id").cast("long"))
         .filter(col("batch_id") > st.watermark))
@@ -155,28 +229,19 @@ private[graft] object CompactedIndex {
     // the commit: marker existence IS the committed state (created after
     // the data is fully written; overwrite above wipes any stale marker
     // from a crashed earlier attempt first)
-    fs.create(new Path(genDir, Marker), true).close()
+    commitGen(fs, basePath(root), batchId)
 
-    // prune AFTER the commit: folded deltas (now <= watermark, invisible),
-    // committed generations beyond the two newest (an external reader
-    // that resolved the live generation just before this commit can
-    // still finish), and UNCOMMITTED generations older than this batch
-    // (crashed folds whose writer batch has finished — they can never be
-    // committed; keeping two committed gens by COMMIT state, not by
-    // number, means an orphan can't displace a real generation)
-    deltaBatchIds(fs, root).filter(_ <= batchId - 1).foreach { id =>
+    // prune AFTER the commit — but only deltas already covered by the
+    // PREVIOUS watermark. The just-folded deltas stay one grace cycle:
+    // an external reader (the index()/hashIndex() inspection surfaces)
+    // that resolved the OLD watermark just before this commit still has
+    // base(old) ∪ deltas(> old watermark) in flight — deleting the
+    // just-folded partitions under it would FileNotFound mid-scan. New
+    // probes read the new watermark and never touch them; the next fold
+    // sweeps them. Listing stays bounded at ~2x the fold threshold.
+    deltaBatchIds(fs, root).filter(_ <= st.watermark).foreach { id =>
       fs.delete(new Path(s"${deltasPath(root)}/batch_id=$id"), true)
     }
-    val committed = committedGens(fs, root)
-    val keep = committed.takeRight(2).map(n => s"gen-$n").toSet
-    fs.listStatus(new Path(basePath(root)))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
-      .foreach { s =>
-        val name = s.getPath.getName
-        val n = name.stripPrefix("gen-").toLong
-        val isCommitted = committed.contains(n)
-        if ((isCommitted && !keep.contains(name)) || (!isCommitted && n < batchId))
-          fs.delete(s.getPath, true)
-      }
+    pruneGens(fs, basePath(root), batchId)
   }
 }

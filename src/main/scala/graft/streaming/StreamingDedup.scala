@@ -52,13 +52,14 @@ object StreamingDedup {
                           maxIndexDeltas: Int = 16)
 
   /** The full signature index contents (base + deltas) — inspection and
-    * test surface; probes inside [[processBatch]] exclude their own batch.
+    * test surface; probes inside [[processBatch]] exclude their own
+    * batch. None before the first append (a schemaless empty frame would
+    * throw on any column reference).
     */
-  def index(spark: SparkSession, statePath: String): DataFrame = {
+  def index(spark: SparkSession, statePath: String): Option[DataFrame] = {
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     CompactedIndex.read(spark, fs, indexPath(statePath), -1L)
-      .getOrElse(spark.emptyDataFrame)
   }
 
   private[streaming] def processBatch(spark: SparkSession, batch: DataFrame,

@@ -83,16 +83,18 @@ object StreamingPipeline {
         */
       maxIndexDeltas: Int = 16)
 
-  /** Full index contents (base + deltas) — inspection/test surface. */
-  def hashIndex(spark: SparkSession, statePath: String): DataFrame =
+  /** Full index contents (base + deltas) — inspection/test surface.
+    * None before the first append (a schemaless empty frame would throw
+    * on any column reference).
+    */
+  def hashIndex(spark: SparkSession, statePath: String): Option[DataFrame] =
     readFullIndex(spark, hashIndexPath(statePath))
-  def sigIndex(spark: SparkSession, statePath: String): DataFrame =
+  def sigIndex(spark: SparkSession, statePath: String): Option[DataFrame] =
     readFullIndex(spark, sigIndexPath(statePath))
-  private def readFullIndex(spark: SparkSession, root: String): DataFrame = {
+  private def readFullIndex(spark: SparkSession, root: String): Option[DataFrame] = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     CompactedIndex.read(spark, fs, root, -1L)
-      .getOrElse(spark.emptyDataFrame)
   }
 
   /** All batches' kept documents (batch_id is a partition column). */
@@ -188,8 +190,12 @@ object StreamingPipeline {
           else {
             val touched = pairIds.select(col("id_a").as("id"))
               .unionByName(pairIds.select(col("id_b").as("id"))).distinct()
+            // limit BEFORE collect: the cap must bound the driver
+            // materialization itself, not just the In-filter size — cap+1
+            // rows distinguishes "fits" from "overflowed, fall back"
             val priorTouched = touched
               .join(afterExact.select(col("doc_id").as("id")), Seq("id"), "left_anti")
+              .limit(MaxRerankPushdownIds + 1)
               .collect().map(_.getLong(0))
             if (priorTouched.isEmpty) batchTexts
             else {
@@ -199,7 +205,7 @@ object StreamingPipeline {
                 if (priorTouched.length <= MaxRerankPushdownIds)
                   train.filter(col("doc_id")
                     .isin(priorTouched.toSeq.map(Long.box): _*))
-                else train
+                else train // overflow: scan + ngramJaccardH's semi-join
               batchTexts.unionByName(
                 priorTexts.select(col("doc_id"), col("text")))
             }

@@ -186,58 +186,28 @@ object StreamingValidator {
     }
   }
 
-  private val Marker = "_GRAFT_COMMITTED"
-
-  /** Numbers of committed stats generations, ascending. Commit state is
-    * marker EXISTENCE inside the generation dir, never the content of a
-    * mutable pointer file: the earlier CURRENT-pointer flip used
-    * truncate-then-write, so a crash mid-flip left an empty/truncated
-    * pointer and corrupted the state permanently (round-5 review).
-    */
-  private def committedGens(fs: org.apache.hadoop.fs.FileSystem,
-                            statePath: String): Seq[Long] = {
-    val base = fs.makeQualified(new org.apache.hadoop.fs.Path(statsPath(statePath)))
-    if (!fs.exists(base)) Nil
-    else fs.listStatus(base).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-") &&
-        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, Marker)))
-      .map(_.getPath.getName.stripPrefix("gen-").toLong)
-      .sorted
-  }
-
   private def writeStats(spark: SparkSession, statePath: String,
                          batchId: Long, stats: Array[Row]): Unit = {
     val df = Validator.statsToDf(spark, stats).withColumn("last_batch_id", lit(batchId))
-    // two-generation layout: write the new generation fully, then commit
-    // it by creating its marker — readers never see a half-written
-    // directory, and a crashed write leaves an invisible (markerless)
-    // orphan that the next prune removes
+    // two-generation layout, committed by marker EXISTENCE (shared
+    // protocol — CompactedIndex.commitGen/pruneGens): write the new
+    // generation fully, then create its marker. Readers never see a
+    // half-written directory; a crashed write leaves an invisible
+    // (markerless) orphan the next prune removes. The earlier
+    // CURRENT-pointer flip used truncate-then-write, so a crash mid-flip
+    // corrupted the state permanently (round-5 review).
     val gen = s"${statsPath(statePath)}/gen-$batchId"
     df.coalesce(1).write.mode("overwrite").parquet(gen)
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.create(new org.apache.hadoop.fs.Path(s"$gen/$Marker"), true).close()
-    // keep the current AND previous COMMITTED generation, delete older
-    // committed ones and dead uncommitted orphans: state stays O(1), and
-    // an external reader that resolved the live generation just before
-    // this commit can still read it
-    val committed = committedGens(fs, statePath)
-    val keep = committed.takeRight(2).map(i => s"gen-$i").toSet
-    fs.listStatus(new org.apache.hadoop.fs.Path(statsPath(statePath)))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
-      .foreach { s =>
-        val name = s.getPath.getName
-        val n = name.stripPrefix("gen-").toLong
-        val isCommitted = committed.contains(n)
-        if ((isCommitted && !keep.contains(name)) || (!isCommitted && n < batchId))
-          fs.delete(s.getPath, true)
-      }
+    CompactedIndex.commitGen(fs, statsPath(statePath), batchId)
+    CompactedIndex.pruneGens(fs, statsPath(statePath), batchId)
   }
 
   def readStats(spark: SparkSession, statePath: String): Option[(Long, Array[Row])] = {
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    committedGens(fs, statePath).lastOption.map { n =>
+    CompactedIndex.committedGenNumbers(fs, statsPath(statePath)).lastOption.map { n =>
       val df = spark.read.parquet(s"${statsPath(statePath)}/gen-$n")
       val batchId = df.select(col("last_batch_id")).head().getLong(0)
       (batchId, df.drop("last_batch_id").collect())
