@@ -52,12 +52,6 @@ import graft.ops.{IncrementalDedup, QualityFilter, Redaction}
   */
 object StreamingPipeline {
 
-  /** Largest prior-side id set pushed into the rerank's train scan as an
-    * In filter; beyond it (degenerate pair explosions only — pairs are
-    * bucket-capped) the rerank falls back to a full-scan semi-join.
-    */
-  private val MaxRerankPushdownIds = 100000
-
   def trainPath(statePath: String) = s"$statePath/train"
   def rejectsPath(statePath: String) = s"$statePath/rejects"
   def hashIndexPath(statePath: String) = s"$statePath/hash-index"
@@ -81,7 +75,15 @@ object StreamingPipeline {
       /** delta partitions tolerated per index before it folds into a
         * compacted base generation ([[CompactedIndex]])
         */
-      maxIndexDeltas: Int = 16)
+      maxIndexDeltas: Int = 16,
+      /** largest prior-side id set pushed into the rerank's train scan
+        * as an In filter (and the bound on its driver-side collect);
+        * beyond it (degenerate pair explosions only — pairs are
+        * bucket-capped) the rerank falls back to a full-scan semi-join
+        * with identical semantics (fallback parity pinned in
+        * StreamingPipelineSpec)
+        */
+      maxRerankPushdownIds: Int = 100000)
 
   /** Full index contents (base + deltas) — inspection/test surface.
     * None before the first append (a schemaless empty frame would throw
@@ -195,14 +197,14 @@ object StreamingPipeline {
             // rows distinguishes "fits" from "overflowed, fall back"
             val priorTouched = touched
               .join(afterExact.select(col("doc_id").as("id")), Seq("id"), "left_anti")
-              .limit(MaxRerankPushdownIds + 1)
+              .limit(p.maxRerankPushdownIds + 1)
               .collect().map(_.getLong(0))
             if (priorTouched.isEmpty) batchTexts
             else {
               val train = spark.read.parquet(trainPath(statePath))
                 .filter(col("batch_id") =!= batchId)
               val priorTexts =
-                if (priorTouched.length <= MaxRerankPushdownIds)
+                if (priorTouched.length <= p.maxRerankPushdownIds)
                   train.filter(col("doc_id")
                     .isin(priorTouched.toSeq.map(Long.box): _*))
                 else train // overflow: scan + ngramJaccardH's semi-join

@@ -258,6 +258,16 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val batchKept = res.kept.select("doc_id").collect().map(_.getLong(0)).toSet
     res.unpersist()
     assert(batchKept == keptIds(dir), "stream kept set diverges from batch Pipeline")
+
+    // pushdown-overflow fallback parity: with the cap at 0 every rerank
+    // takes the full-scan semi-join branch instead of the pushed In
+    // filter — identical decisions either way
+    val dirFb = java.nio.file.Files.createTempDirectory("spipe-fp-fb").toString
+    val pFb = p.copy(maxRerankPushdownIds = 0)
+    StreamingPipeline.processBatch(spark, cdf.filter(col("doc_id") <= 2), 0L, dirFb, pFb)
+    StreamingPipeline.processBatch(spark, cdf.filter(col("doc_id") > 2), 1L, dirFb, pFb)
+    assert(keptIds(dirFb) == keptIds(dir))
+    assert(rejectStages(dirFb) == rejectStages(dir))
   }
 
   test("index compaction: bounded deltas, identical decisions, crash-safe replay") {
