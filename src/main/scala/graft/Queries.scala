@@ -1098,12 +1098,13 @@ object Queries {
     val idxDir = q40IndexDir(dir)
     val fs = new org.apache.hadoop.fs.Path(idxDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // writeIndex is a PARTITIONED dynamic-overwrite write, which commits
-    // no root _SUCCESS at all — the round-3 _SUCCESS probe silently
-    // rebuilt the index on EVERY run. A bare content check would go the
-    // other way (reuse a partially-written dir after a crashed build),
-    // so completeness gets its own marker, created only AFTER the write
-    // returns.
+    // completeness gets its OWN marker, created only AFTER the write
+    // returns: round 3's probe checked the writer's _SUCCESS (absent
+    // under the then-dynamic partitioned overwrite — the index silently
+    // rebuilt on EVERY run), and a bare content check would go the other
+    // way (reuse a partially-written dir after a crashed build). The
+    // explicit marker stays correct regardless of the writer's commit
+    // artifacts (writeIndex is a static overwrite since round 5).
     val marker = fs.makeQualified(
       new org.apache.hadoop.fs.Path(s"$idxDir/_GRAFT_COMPLETE"))
     val built =

@@ -168,6 +168,12 @@ object Dedup {
     * group on these to find candidate buckets.
     */
   def lshBands(sig: Column, bands: Int, perms: Int): Column = {
+    // bands > perms would make rowsPerBand 0: every doc gets ONE constant
+    // band hash, capBuckets prunes the single giant bucket, and mining
+    // silently returns zero pairs; a non-divisible split would silently
+    // drop the trailing signature positions from banding
+    require(bands >= 1 && bands <= perms && perms % bands == 0,
+      s"bands ($bands) must divide perms ($perms) with bands <= perms")
     val rowsPerBand = perms / bands
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"),

@@ -37,12 +37,18 @@ object IncrementalDedup {
         col("bandinfo.band_hash").as("band_hash"),
         col("id"), col("sig"))
 
-  /** Build (mode=overwrite) or grow (mode=append) the index. */
+  /** Build (mode=overwrite) or grow (mode=append) the index. A rebuild
+    * is a STATIC overwrite (the whole path is replaced): the earlier
+    * dynamic-overwrite setting only replaced band partitions present in
+    * the NEW data, so rebuilding with fewer bands (or from a shrunken
+    * corpus) left stale partitions that probes would happily read —
+    * candidate pairs against deleted documents.
+    */
   def writeIndex(df: DataFrame, textCol: String, idCol: String, path: String,
                  shingleK: Int = 3, perms: Int = 32, bands: Int = 16,
                  mode: String = "overwrite"): Unit =
     signatureRows(df, textCol, idCol, shingleK, perms, bands)
-      .write.mode(mode).option("partitionOverwriteMode", "dynamic")
+      .write.mode(mode)
       .partitionBy("band").parquet(path)
 
   /** The warehouse-scale index layout: the same rows saved as a table

@@ -62,11 +62,15 @@ object Ivf {
         .select(col("v")).collect()
         .map(rowVec)
 
-    val sample =
+    val sample0 =
       if (sampleMod <= 1) df.select(col(vecCol).as("v"))
       else df.filter(pmod(xxhash64(col(idCol), lit(seed + 1)), lit(sampleMod)) === 0)
         .select(col(vecCol).as("v"))
-
+    // every Lloyd iteration consumes the sample — persist it so the
+    // corpus is scanned/filtered once, not once per refinement
+    val sample =
+      if (refineIters > 1) sample0.persist() else sample0
+    try {
     var it = 0
     while (it < refineIters) {
       // assign sample -> quantized-sum mean per (cell, dimension); empty
@@ -88,6 +92,7 @@ object Ivf {
       cents = next
       it += 1
     }
+    } finally if (refineIters > 1) sample.unpersist()
     cents
   }
 
@@ -127,6 +132,8 @@ object Ivf {
     index.assigned
       .filter(col("__cell").isin(probes: _*))
       .select(col(idCol), Similarity.cosine(col(vecCol), q).as("cosine"))
+      // NaN (zero-norm) cosines sort ABOVE 1.0 under desc — never rank them
+      .filter(Similarity.rankable(col("cosine")))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }

@@ -7,16 +7,22 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
-/** MinHash signature as a native Catalyst expression.
+/** MinHash signature as a native Catalyst expression: for each shingle
+  * hash, the p-th permutation is a splitmix64 finalizer of
+  * (hash XOR seed_p) with golden-gamma odd seeds, min-reduced per
+  * permutation — one tight JVM loop per row, ~perms*n integer mixes, no
+  * per-element boxing.
   *
-  * The composed-builtins formulation
-  * `transform(0..perms, p -> array_min(transform(shingles, s -> xxhash64(s, p))))`
-  * is semantically identical but evaluates `perms * n` interpreted
-  * higher-order-function lambdas per row (Spark's HOFs don't participate
-  * in codegen). This expression does one tight JVM loop per row:
-  * for each shingle hash, derive the p-th permutation via a splitmix64
-  * finalizer of (hash ^ seed_p) and min-reduce — ~perms*n integer mixes,
-  * no per-element boxing or expression-tree walks.
+  * This is the standard minhash construction, NOT a twin of any
+  * composed-builtins formula: an HOF equivalent (e.g.
+  * `transform(0..perms, p -> array_min(transform(shingles, mix_p)))`)
+  * would pay `perms * n` interpreted lambdas per row (Spark's HOFs don't
+  * participate in codegen) and, with a different per-permutation mix,
+  * would produce DIFFERENT signature values — do not write oracles from
+  * a formula; the semantics are pinned by the fuzzed LSH recall/agreement
+  * properties (OpsSpec, StreamingPipelineSpec's signature-kernel oracle,
+  * which calls this same expression). Signature values are part of every
+  * persisted index's layout contract (seeds are frozen).
   *
   * Codegen: the loop lives in the static [[MinHash64.compute]]; the
   * plan-time seed table rides into the generated code as a reference

@@ -45,14 +45,19 @@ object RepresentativeSample {
     val targets = coverageTargets(schema)
     val targetB = spark.sparkContext.broadcast(targets)
 
-    val pairs = lines.rdd.zipWithIndex().flatMap { case (line, idx) =>
-      JsonParser.parseJsonLine(line).toOption.toSeq.flatMap { obj =>
-        val t = new TypeExtractor(StrictMerge, dateFormats).extract(obj)
-        t match {
-          case d: DocT =>
-            exhibitedPairs(d).filter(targetB.value.contains)
-              .map { case (p, k) => (p, k, idx, line) }
-          case _ => Nil
+    val pairs = lines.rdd.zipWithIndex().mapPartitions { it =>
+      // one extractor per TASK, not per row (it carries merge/date-format
+      // state; per-row construction was pure allocation pressure in the
+      // scan that dominates this job)
+      val extractor = new TypeExtractor(StrictMerge, dateFormats)
+      it.flatMap { case (line, idx) =>
+        JsonParser.parseJsonLine(line).toOption.toSeq.flatMap { obj =>
+          extractor.extract(obj) match {
+            case d: DocT =>
+              exhibitedPairs(d).filter(targetB.value.contains)
+                .map { case (p, k) => (p, k, idx, line) }
+            case _ => Nil
+          }
         }
       }
     }.toDF("property", "kind", "row_idx", "line")

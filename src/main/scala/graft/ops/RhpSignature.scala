@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
@@ -72,6 +72,16 @@ object RhpSignature {
   /** Column API: 64-bit RHP-LSH bucket signature of a float/double array. */
   def rhp_signature(vec: Column, planes: Int, seed: Long): Column =
     ColumnBridge.column(RhpSignature(ColumnBridge.expression(vec), planes, seed))
+
+  /** Driver-side signature of one in-memory vector — the same prefix
+    * derivation and compute body as the expression (bit-identical), for
+    * per-query probes where launching a Spark job over a single vector
+    * would be pure scheduler latency.
+    */
+  def computeDriver(vec: Seq[Float], planes: Int, seed: Long): Long =
+    compute(new GenericArrayData(vec.toArray),
+      Array.tabulate(planes)(p => XXH64.hashInt(p, XXH64.hashLong(seed, 42L))),
+      isFloat = true)
 
   /** One-loop body shared by eval and the generated code. */
   def compute(arr: ArrayData, prefix: Array[Long], isFloat: Boolean): Long = {

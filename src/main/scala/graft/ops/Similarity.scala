@@ -58,6 +58,17 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** Degenerate similarities must never RANK: CosineSim yields NaN on
+    * zero norms (deliberate — ANSI division would throw) and NULL on
+    * length mismatch / null elements. NaN compares false against any
+    * THRESHOLD (so `embeddingNearDups` is safe as-is), but Spark sorts
+    * NaN GREATER than every double — under `cosine.desc` a zero-norm
+    * vector would rank #1 in every top-k. Every ranking path filters
+    * them out first (isnan(null) is null, so the filter drops NULL
+    * cosines too).
+    */
+  private[ops] def rankable(cosine: Column): Column = !isnan(cosine)
+
   /** Exact brute-force top-k cosine neighbors of one query vector.
     * The orderBy+limit plans as TakeOrderedAndProject: per-partition
     * heaps, no global sort.
@@ -66,6 +77,7 @@ object Similarity {
                 query: Seq[Float], k: Int): DataFrame = {
     val q = array(query.map(v => lit(v)): _*)
     df.select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      .filter(rankable(col("cosine")))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -88,9 +100,10 @@ object Similarity {
       "multiProbe must be in [0, planes]")
     val q = array(query.map(v => lit(v)): _*)
     val bucketed = df.withColumn("__sig", rhpSignature(col(vecCol), planes, seed))
-    val querySig: Long = bucketed.sparkSession.range(1)
-      .select(rhpSignature(q, planes, seed).as("qsig"))
-      .collect()(0).getLong(0)
+    // driver-side: one in-memory vector through the same static compute
+    // body the expression uses — the earlier range(1)+collect paid a full
+    // job-scheduling round trip per query
+    val querySig: Long = RhpSignature.computeDriver(query, planes, seed)
     val probes: Seq[Long] = (0 to multiProbe).flatMap { m =>
       (0 until planes).combinations(m).map { bits =>
         bits.foldLeft(querySig)((s, b) => s ^ (1L << b))
@@ -98,6 +111,7 @@ object Similarity {
     }
     bucketed.filter(col("__sig").isin(probes: _*))
       .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      .filter(rankable(col("cosine")))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -117,6 +131,15 @@ object Similarity {
                    k: Int, planes: Int = 8, tables: Int = 8,
                    seed: Long = 7L, maxBucket: Int = 1 << 20,
                    materialize: Boolean = true): Cached[DataFrame] = {
+    // same guard as Dedup.exactGroupsH: past the threshold Catalyst skips
+    // the partial WindowGroupLimit rewrite and the per-id rank degrades
+    // to the unbounded single-partition window (hot-id straggler)
+    val threshold = df.sparkSession.sessionState.conf
+      .getConfString("spark.sql.optimizer.windowGroupLimitThreshold", "1000")
+      .toLong
+    require(k >= 1 && k < threshold,
+      s"k ($k) must be in [1, windowGroupLimitThreshold $threshold) — " +
+        "raise the conf alongside k if a bigger neighborhood is needed")
     val pruned = Dedup.rhpBuckets(df, vecCol, idCol, planes, tables, seed,
       maxBucket, materialize)
     val l = pruned.value.alias("l"); val r = pruned.value.alias("r")
@@ -125,6 +148,7 @@ object Similarity {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         cosine(col("l.v"), col("r.v")).as("cosine"))
+      .filter(rankable(col("cosine")))
       .dropDuplicates("id_a", "id_b")
     val directed = undirected
       .select(col("id_a").as("id"), col("id_b").as("neighbor_id"), col("cosine"))

@@ -23,6 +23,15 @@ object Vocab {
 
   def topKExact(df: DataFrame, groupCol: String, textCol: String,
                 k: Int): DataFrame = {
+    // same guard as Dedup.exactGroupsH: past the threshold Catalyst skips
+    // the partial-WindowGroupLimit rewrite below and a hot group's whole
+    // vocabulary lands in one window partition
+    val threshold = df.sparkSession.sessionState.conf
+      .getConfString("spark.sql.optimizer.windowGroupLimitThreshold", "1000")
+      .toLong
+    require(k >= 1 && k < threshold,
+      s"k ($k) must be in [1, windowGroupLimitThreshold $threshold) — " +
+        "raise the conf alongside k if a bigger top-k is really needed")
     // scale note on the rank window: the rank<=k filter triggers
     // Catalyst's InferWindowGroupLimit — a PARTIAL WindowGroupLimit
     // keeps only k rows per map partition before the exchange, so the

@@ -249,6 +249,34 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.toSet.subsetOf(vecs.collect().map(_.getLong(0)).toSet))
   }
 
+  test("zero-norm vectors never RANK in any top-k path (NaN sorts above 1.0 under desc)") {
+    // a zero embedding yields cosine NaN (CosineSim's deliberate
+    // ANSI-safe answer); Spark sorts NaN greater than every double, so
+    // without the rankable() filter it would be the #1 neighbor of every
+    // query in every ranking path
+    val vecs = ((0 until 20).map { i =>
+      val angle = i * 0.3
+      (i.toLong, Seq(math.cos(angle).toFloat, math.sin(angle).toFloat))
+    } :+ (99L, Seq(0f, 0f))).toDF("vec_id", "embedding")
+    val query = Seq(1.0f, 0.0f)
+
+    val brute = Similarity.bruteTopK(vecs, "embedding", "vec_id", query, 5)
+      .collect().map(_.getLong(0))
+    assert(brute.length == 5 && !brute.contains(99L) && brute.head == 0L)
+
+    val lsh = Similarity.lshTopK(vecs, "embedding", "vec_id", query, 5,
+      planes = 4, multiProbe = 4) // full probe: zero vector shares buckets
+    assert(!lsh.collect().map(_.getLong(0)).contains(99L))
+
+    val ivf = Ivf.ivfTopK(vecs, "embedding", "vec_id", query, 5,
+      nlist = 4, nProbe = 4, seed = 11)
+    assert(!ivf.collect().map(_.getLong(0)).contains(99L))
+
+    val knn = Similarity.bucketedKnn(vecs, "embedding", "vec_id", k = 3,
+      planes = 2, tables = 4)
+    assert(!knn.select("neighbor_id").collect().map(_.getLong(0)).contains(99L))
+  }
+
   test("IVF: cells group planted clusters; probed top-k has high recall vs brute") {
     // 4 well-separated cluster centers, 40 vectors each, deterministic jitter
     val centers = Seq(
