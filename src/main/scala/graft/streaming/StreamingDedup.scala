@@ -13,8 +13,11 @@ import graft.ops.IncrementalDedup
   * micro-batch PROBES the persisted signature index for
   * (new x all-prior) + (new x new) candidate pairs, writes them, and then
   * appends its own signatures so later batches see it. Old x old work is
-  * never repeated — per-batch cost is proportional to the batch, not the
-  * corpus. The batch's signature table is persisted for the batch (one
+  * never repeated — per-batch shuffle and pair mining are proportional
+  * to the batch, not the corpus (the probe's SCAN of the narrow
+  * signature index is the one corpus-proportional term, amortized by
+  * batch sizing — see BENCH/SCALE.md). The batch's signature table is
+  * persisted for the batch (one
   * shingle pass feeds the bucket counts, both joins, AND the index
   * append) and released before the batch returns.
   *

@@ -13,12 +13,20 @@ import graft.ops.{IncrementalDedup, QualityFilter, Redaction}
   * [[graft.ops.Pipeline]]: each micro-batch is quality-gated, PII-
   * scrubbed, exact-deduplicated and near-deduplicated against everything
   * KEPT so far (keep-first policy), then appended to the train corpus.
-  * Per-batch cost is proportional to the batch, never the corpus: the
-  * prior corpus is touched only through its two persisted indexes (the
-  * content-hash index and the banded minhash signature index), both
-  * probed with batch-sized join sides, plus a BOUNDED id-pushed read of
-  * train/ text for the pair-touched rerank (at most 2x the bucket-capped
-  * candidate count of ids, pushed into the parquet scan).
+  * Per-batch SHUFFLE and compute are proportional to the batch, never
+  * the corpus: the prior corpus is touched only through its two
+  * persisted indexes (the content-hash index and the banded minhash
+  * signature index), both probed with batch-sized join sides, plus a
+  * BOUNDED id-pushed read of train/ text for the pair-touched rerank
+  * (at most 2x the bucket-capped candidate count of ids, pushed into
+  * the parquet scan). The one corpus-proportional term is the probes'
+  * SCAN of the two indexes themselves — narrow 24-40-byte rows, no
+  * text, embarrassingly parallel, and amortized by batch sizing (probe
+  * rows read per batch document = index/batch ratio; schedule larger
+  * batches as the kept corpus grows). Making the probe sub-linear
+  * would take a point-lookup store for the index, not a columnar scan
+  * — out of scope for a Spark-native layout and unnecessary until the
+  * index outweighs batch mining.
   *
   * Keep-first semantics (deterministic): a batch document is dropped as
   * a near-duplicate iff it has a CONFIRMED pair — an LSH candidate
