@@ -1184,6 +1184,54 @@ object Queries {
        |FROM r WHERE rank <= 5 ORDER BY id, rank""".stripMargin
   }
 
+  /** Temperature-based source mixing ([[graft.ops.SourceMix]]): the
+    * training-recipe sampler — keep an expected `target` rows with
+    * per-source shares following sqrt(n_s), deterministically. The flat
+    * per-source counts of the synthetic corpus are skewed into three
+    * meta-sources (25/100/375 docs at the graded SF) so the quotas
+    * actually differ; the mix key is the multiplicative hash (DuckDB
+    * can't compute xxhash64) and every threshold is exact integer math,
+    * so the oracle reproduces the kept SET bit-for-bit — the only
+    * double ops on either side are IEEE-correctly-rounded sqrt/floor.
+    */
+  private def q43(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val meta = docs.withColumn("mix_source",
+      when(col("source") === "src0", lit("a"))
+        .when(col("source").isin("src1", "src2", "src3", "src4"), lit("b"))
+        .otherwise(lit("c")))
+    val target = docs.count() * 3 / 10
+    graft.ops.SourceMix.temperatureSample(meta, "doc_id", "mix_source",
+        target,
+        Some(graft.ops.SourceMix.multiplicativeKey(col("doc_id"))))
+      .select(col("doc_id"), col("mix_source"))
+      .orderBy(col("mix_source"), col("doc_id"))
+  }
+
+  private val q43Sql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         CASE WHEN source = 'src0' THEN 'a'
+      |              WHEN source IN ('src1','src2','src3','src4') THEN 'b'
+      |              ELSE 'c' END AS mix_source
+      |  FROM documents),
+      |c AS (SELECT mix_source, CAST(count(*) AS BIGINT) AS n
+      |      FROM m GROUP BY 1),
+      |w AS (SELECT mix_source, n,
+      |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS wgt
+      |      FROM c),
+      |t AS (SELECT (count(*) * 3) // 10 AS target FROM documents),
+      |thr AS (SELECT w.mix_source,
+      |          LEAST(CAST(1000000 AS BIGINT),
+      |                (1000000 * t.target * w.wgt)
+      |                // (CAST((SELECT sum(wgt) FROM w) AS BIGINT) * w.n))
+      |            AS thr
+      |        FROM w, t)
+      |SELECT m.doc_id, m.mix_source
+      |FROM m JOIN thr ON m.mix_source = thr.mix_source
+      |WHERE (m.doc_id * 2654435761) % 1000000 < thr.thr
+      |ORDER BY m.mix_source, m.doc_id""".stripMargin
+
   // ----------------------------------------------------------------- table
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -1228,6 +1276,7 @@ object Queries {
     "q39_dup_spans"       -> QueryDef(q39, Some(q39Sql)),
     "q40_incremental_dedup" -> QueryDef(q40, Some(q40Sql)),
     "q41_top_words_sketch" -> QueryDef(q41, Some(q38Sql)),
-    "q42_batch_knn"        -> QueryDef(q42, Some(q42Sql))
+    "q42_batch_knn"        -> QueryDef(q42, Some(q42Sql)),
+    "q43_source_mix"       -> QueryDef(q43, Some(q43Sql))
   )
 }

@@ -123,6 +123,16 @@ class PlanSpec extends AnyFunSuite {
     assert(c.length == 3)
   }
 
+  test("SourceMix keeps the threshold join a broadcast: one corpus pass, no corpus shuffle") {
+    import spark.implicits._
+    val docs = (0L until 2000L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "src")
+    val p = plan(graft.ops.SourceMix.temperatureSample(docs, "doc_id", "src", 500L))
+    assert(p.contains("BroadcastHashJoin"),
+      "the sources-sized threshold table must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "a corpus-side shuffle for the threshold join defeats the one-pass design")
+  }
+
   test("brute-force top-k plans as TakeOrderedAndProject (no global sort)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val p = plan(graft.ops.Similarity.bruteTopK(

@@ -249,6 +249,46 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.toSet.subsetOf(vecs.collect().map(_.getLong(0)).toSet))
   }
 
+  test("SourceMix: exact thresholds, sqrt-temperature shares, saturation, determinism") {
+    // hand-checked integer math: n = (100, 400), w = (10000, 20000),
+    // sumw = 30000, target = 150 ->
+    //   thr_a = 1e6*150*10000 / (30000*100)  = 500000  (expect ~50 kept)
+    //   thr_b = 1e6*150*20000 / (30000*400)  = 250000  (expect ~100 kept)
+    assert(SourceMix.thresholds(Seq("a" -> 100L, "b" -> 400L), 150L) ==
+      Seq("a" -> 500000L, "b" -> 250000L))
+    // saturation: a source whose temperature share exceeds its population
+    // caps at M (keep everything) — one-pass, no redistribution
+    val sat = SourceMix.thresholds(Seq("tiny" -> 4L, "big" -> 10000L), 5000L)
+    assert(sat.toMap.apply("tiny") == SourceMix.M)
+
+    val docs = (0L until 500L).map { i =>
+      (i, if (i < 100) "a" else "b")
+    }.toDF("doc_id", "src")
+    val kept = SourceMix.temperatureSample(docs, "doc_id", "src", 150L)
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected (50, 100) under a uniform key; the default xxhash64 key is
+    // hash-uniform, allow generous slack
+    assert(math.abs(bySrc("a") - 50L) <= 25, s"a kept ${bySrc("a")}")
+    assert(math.abs(bySrc("b") - 100L) <= 35, s"b kept ${bySrc("b")}")
+    // deterministic: the kept SET is a pure function of the input
+    val again = SourceMix.temperatureSample(docs, "doc_id", "src", 150L)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+
+    // the multiplicative (oracle-replicable) key matches an independent
+    // Scala replica of the arithmetic the DuckDB oracle runs
+    val keyKept = SourceMix.temperatureSample(docs, "doc_id", "src", 150L,
+        Some(SourceMix.multiplicativeKey(col("doc_id"))))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val thr = SourceMix.thresholds(Seq("a" -> 100L, "b" -> 400L), 150L).toMap
+    val replica = (0L until 500L).filter { i =>
+      val t = if (i < 100) thr("a") else thr("b")
+      (i * 2654435761L) % 1000000L < t
+    }.toSet
+    assert(keyKept == replica)
+  }
+
   test("zero-norm vectors never RANK in any top-k path (NaN sorts above 1.0 under desc)") {
     // a zero embedding yields cosine NaN (CosineSim's deliberate
     // ANSI-safe answer); Spark sorts NaN greater than every double, so
