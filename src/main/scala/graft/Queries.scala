@@ -1232,6 +1232,51 @@ object Queries {
       |WHERE (m.doc_id * 2654435761) % 1000000 < thr.thr
       |ORDER BY m.mix_source, m.doc_id""".stripMargin
 
+  /** Leakage-free train/val split ([[graft.ops.Split]]): every document
+    * assigned by hashing its near-dup cluster representative, so both
+    * members of every reranked pair land on the same side (a plain
+    * per-doc hash split would leak near-duplicate eval docs into train).
+    * The pair mining and cluster truth are exactly q33's (whose oracle
+    * parity is already graded); the split rule on top is pure integer
+    * arithmetic on the representative, so DuckDB reproduces the
+    * assignment bit-for-bit.
+    */
+  private def q44(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val cands = Dedup.minhashCandidates(docs, "text", "doc_id",
+      shingleK = 3, perms = 32, bands = 16, minJaccard = 0.2)
+    val pairs = rerankedPairs(docs, cands, 0.5).select(col("id_a"), col("id_b"))
+    graft.ops.Split.leakFreeSplit(docs, "doc_id", pairs, valPermille = 200,
+        key = graft.ops.Split.multiplicativeKey)
+      .select(col("doc_id"), col("split_rep"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q44Sql = {
+    val j = """round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              |        len(list_distinct(list_concat(a.sh, b.sh))), 6)""".stripMargin
+    s"""WITH RECURSIVE s AS (SELECT doc_id,
+       |  CASE WHEN len(w) < 3 THEN [text]
+       |       ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                           for i in range(1, len(w) - 1)]) END AS sh
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |      FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $j >= 0.5),
+       |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+       |lab AS (
+       |  SELECT a AS id, comp FROM
+       |    (SELECT a, b AS comp FROM e UNION SELECT a, a AS comp FROM e)
+       |  UNION
+       |  SELECT l.id, e2.b AS comp FROM lab l JOIN e e2 ON l.comp = e2.a),
+       |comps AS (SELECT id, min(comp) AS component FROM lab GROUP BY id)
+       |SELECT d.doc_id,
+       |  COALESCE(c.component, d.doc_id) AS split_rep,
+       |  CASE WHEN (COALESCE(c.component, d.doc_id) * 2654435761) % 1000 < 200
+       |       THEN 'val' ELSE 'train' END AS split
+       |FROM documents d LEFT JOIN comps c ON d.doc_id = c.id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------- table
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -1277,6 +1322,7 @@ object Queries {
     "q40_incremental_dedup" -> QueryDef(q40, Some(q40Sql)),
     "q41_top_words_sketch" -> QueryDef(q41, Some(q38Sql)),
     "q42_batch_knn"        -> QueryDef(q42, Some(q42Sql)),
-    "q43_source_mix"       -> QueryDef(q43, Some(q43Sql))
+    "q43_source_mix"       -> QueryDef(q43, Some(q43Sql)),
+    "q44_leakfree_split"   -> QueryDef(q44, Some(q44Sql))
   )
 }

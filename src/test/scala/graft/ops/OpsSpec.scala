@@ -249,6 +249,41 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.toSet.subsetOf(vecs.collect().map(_.getLong(0)).toSet))
   }
 
+  test("Split: near-dup pair members always land on the same side; singletons self-represent") {
+    // pairs: {0,1,2} form one cluster (chain 0-1, 1-2); {5,6} another;
+    // 3, 4 are singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val docs = (0L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val split = Split.leakFreeSplit(docs, "doc_id", pairs, valPermille = 500)
+      .select("doc_id", "split_rep", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // cluster representatives are component minima; singletons are themselves
+    assert(Seq(0L, 1L, 2L).map(split(_)._1).distinct == Seq(0L))
+    assert(Seq(5L, 6L).map(split(_)._1).distinct == Seq(5L))
+    assert(split(3L)._1 == 3L && split(4L)._1 == 4L)
+    // the leakage guarantee: same rep -> same side, for every pair
+    assert(Seq(0L, 1L, 2L).map(split(_)._2).distinct.size == 1)
+    assert(Seq(5L, 6L).map(split(_)._2).distinct.size == 1)
+    // deterministic across invocations
+    val again = Split.leakFreeSplit(docs, "doc_id", pairs, valPermille = 500)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((0L to 6L).forall(i => again(i) == split(i)._2))
+    // valPermille edges: 0 -> all train, 1000 -> all val
+    assert(Split.leakFreeSplit(docs, "doc_id", pairs, 0)
+      .filter(col("split") === "val").isEmpty)
+    assert(Split.leakFreeSplit(docs, "doc_id", pairs, 1000)
+      .filter(col("split") === "train").isEmpty)
+    // multiplicative key matches a Scala replica of the oracle arithmetic
+    val mk = Split.leakFreeSplit(docs, "doc_id", pairs, 200,
+        key = Split.multiplicativeKey)
+      .select("doc_id", "split_rep", "split").collect()
+    mk.foreach { r =>
+      val expect = if ((r.getLong(1) * 2654435761L) % 1000L < 200L) "val" else "train"
+      assert(r.getString(2) == expect, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("SourceMix: exact thresholds, sqrt-temperature shares, saturation, determinism") {
     // hand-checked integer math: n = (100, 400), w = (10000, 20000),
     // sumw = 30000, target = 150 ->
