@@ -87,8 +87,16 @@ object SourceMix {
   def temperatureSample(df: DataFrame, idCol: String, sourceCol: String,
                         targetRows: Long,
                         mixKey: Option[Column] = None): DataFrame = {
+    require(df.schema(sourceCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"$sourceCol must be a string column (got " +
+        s"${df.schema(sourceCol).dataType.simpleString}); cast first")
+    // a NULL source is a row with no recipe bucket: it gets no threshold
+    // row, the inner join drops it, and it is simply absent from the
+    // sample (never silently lumped into some source's quota)
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .collect().filter(!_.isNullAt(0))
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
     if (counts.isEmpty) return df // structurally empty — nothing to thin
     val spark = df.sparkSession
     import spark.implicits._

@@ -57,11 +57,13 @@ object Split {
                     key: Column => Column = defaultKey(_)): DataFrame = {
     require(valPermille >= 0 && valPermille <= Permille,
       s"valPermille ($valPermille) must be in [0, $Permille]")
+    // internal names prefixed: an input frame that already carries a
+    // "component" column must not make the coalesce ambiguous
     val labels = Components.connectedComponents(pairs, aCol, bCol)
-      .withColumnRenamed("id", "__cc_id")
+      .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
     df.join(labels, df(idCol) === col("__cc_id"), "left")
-      .withColumn("split_rep", coalesce(col("component"), df(idCol)))
-      .drop("__cc_id", "component")
+      .withColumn("split_rep", coalesce(col("__cc_comp"), df(idCol)))
+      .drop("__cc_id", "__cc_comp")
       .withColumn("split",
         when(key(col("split_rep")) < lit(valPermille.toLong), lit("val"))
           .otherwise(lit("train")))
