@@ -284,6 +284,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Split fuzz: leakage guarantee holds on random pair graphs") {
+    val rnd = new scala.util.Random(4242)
+    for (round <- 0 until 5) {
+      val nDocs = 40 + rnd.nextInt(60)
+      val nPairs = rnd.nextInt(50)
+      val pairSeq = Seq.fill(nPairs) {
+        (rnd.nextInt(nDocs).toLong, rnd.nextInt(nDocs).toLong)
+      }.filter { case (a, b) => a != b }
+      val docs = (0L until nDocs.toLong).map(i => (i, s"d$i")).toDF("doc_id", "text")
+      val pairs = (if (pairSeq.isEmpty) Seq((0L, 0L)) else pairSeq) // self-pair: no edge
+        .toDF("id_a", "id_b")
+      val split = Split.leakFreeSplit(docs, "doc_id", pairs,
+          valPermille = 100 + rnd.nextInt(800))
+        .select("doc_id", "split_rep", "split").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(split.size == nDocs, s"round $round: every doc assigned exactly once")
+      // the property the op exists for: every pair lands on one side
+      pairSeq.foreach { case (a, b) =>
+        assert(split(a)._2 == split(b)._2,
+          s"round $round: pair ($a,$b) straddles the split")
+        assert(split(a)._1 == split(b)._1,
+          s"round $round: pair ($a,$b) has different representatives")
+      }
+      // representatives are component minima: rep <= id, and rep's own rep
+      // is itself (idempotent)
+      split.foreach { case (id, (rep, _)) =>
+        assert(rep <= id, s"round $round: rep $rep above $id")
+        assert(split(rep)._1 == rep, s"round $round: rep $rep not idempotent")
+      }
+    }
+  }
+
   test("SourceMix: exact thresholds, sqrt-temperature shares, saturation, determinism") {
     // hand-checked integer math: n = (100, 400), w = (10000, 20000),
     // sumw = 30000, target = 150 ->
