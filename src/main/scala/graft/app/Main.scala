@@ -165,10 +165,15 @@ object Main {
           evalSources = opts.get("eval-sources")
             .map(_.split(",").toSeq).getOrElse(Nil),
           jaccardThreshold = flagOr(opts, "jaccard", "0.8").toDouble,
-          budget = flagOr(opts, "budget", "4096").toInt)
+          budget = flagOr(opts, "budget", "4096").toInt,
+          // --val-permille N: leakage-free holdout split columns;
+          // --mix-target N: sqrt-temperature train-mix thinning
+          valPermille = opts.get("val-permille").filter(_.nonEmpty).map(_.toInt),
+          splitJaccard = flagOr(opts, "split-jaccard", "0.5").toDouble,
+          mixTargetRows = opts.get("mix-target").filter(_.nonEmpty).map(_.toLong))
         val res = graft.ops.Pipeline.run(spark.read.parquet(opts("input")), cfg)
         res.packed.write.mode("overwrite").parquet(s"$out/packs")
-        res.kept.write.mode("overwrite").parquet(s"$out/docs")
+        res.corpus.write.mode("overwrite").parquet(s"$out/docs")
         val nKept = spark.read.parquet(s"$out/docs").count()
         val nPacks = spark.read.parquet(s"$out/packs").count()
         println(s"Pipeline: ${res.nInput} docs in -> $nKept kept -> $nPacks packs" +

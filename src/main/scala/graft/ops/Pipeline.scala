@@ -33,7 +33,29 @@ object Pipeline {
         * ([[Packing.bucketKey]]) — packs never cross a bucket, so
         * parallelism is #sources x #occupied-buckets
         */
-      idsPerBucket: Long = 100000L)
+      idsPerBucket: Long = 100000L,
+      /** leakage-free holdout: when set, the corpus gains
+        * (split_rep, split) columns via [[Split.leakFreeSplit]] over the
+        * SAME reranked pair list the dedup stage mined (zero extra
+        * mining), and the packing key gains the split component so no
+        * pack ever crosses the train/val boundary
+        */
+      valPermille: Option[Int] = None,
+      /** the split's "related" bar (exact word-shingle Jaccard): pairs at
+        * or above it must not straddle train/val. Deliberately BELOW the
+        * fold threshold — duplicates above jaccardThreshold are already
+        * folded to one survivor, so the split's job is the merely-similar
+        * band [splitJaccard, jaccardThreshold): those pairs both survive
+        * dedup and would leak across a naive per-doc split. Must be >=
+        * the miner's candidate floor (0.2) to appear in the reranked set.
+        */
+      splitJaccard: Double = 0.5,
+      /** training-mix downsampling: when set, the train side (the whole
+        * corpus if no split) is thinned to this expected row count with
+        * [[SourceMix.temperatureSample]] sqrt-temperature shares;
+        * validation rows are never thinned
+        */
+      mixTargetRows: Option[Long] = None)
 
   /** `packed`'s `group` column is the composite (source, id-range
     * bucket) packing key; the parsed `source` and `bucket` columns are
@@ -48,6 +70,11 @@ object Pipeline {
       pairs: DataFrame,
       canonical: DataFrame,
       kept: DataFrame,
+      /** the frame the packs are built from and the corpus output to
+        * ship: `kept` plus the optional split annotation and mix
+        * thinning — identical to `kept` when both knobs are off
+        */
+      corpus: DataFrame,
       packed: DataFrame,
       miner: Cached[DataFrame]) {
     def unpersist(): Unit = {
@@ -106,20 +133,53 @@ object Pipeline {
           Seq("doc_id"), "left_anti")
     }).persist(StorageLevel.MEMORY_AND_DISK)
 
+    // optional holdout assignment over the CACHED rerank (zero extra
+    // mining) at the split's own, LOWER bar: >= jaccardThreshold pairs
+    // were already folded to one survivor, so the leakage risk lives in
+    // the merely-similar band [splitJaccard, fold) whose pairs both
+    // survive dedup. Components run over the full pair graph including
+    // folded ids, so two survivors connected THROUGH a folded doc still
+    // share a representative (and therefore a side).
+    val withSplit = cfg.valPermille match {
+      case None => kept
+      case Some(v) =>
+        val splitPairs = reranked.value
+          .filter(col("jaccard") >= cfg.splitJaccard)
+          .select(col("id_a"), col("id_b"))
+        Split.leakFreeSplit(kept, "doc_id", splitPairs, v)
+    }
+    // optional training-mix thinning; validation rows are never thinned
+    // (an eval set must stay complete)
+    val corpus = cfg.mixTargetRows match {
+      case None => withSplit
+      case Some(t) if cfg.valPermille.isDefined =>
+        withSplit.filter(col("split") === "val").unionByName(
+          SourceMix.temperatureSample(
+            withSplit.filter(col("split") === "train"), "doc_id", "source", t))
+      case Some(t) =>
+        SourceMix.temperatureSample(withSplit, "doc_id", "source", t)
+    }
+
     // corpus-scale packing key: (source, id-range bucket) — parallelism
-    // #sources x #buckets, not #sources (Packing.bucketKey). The raw
-    // composite key is internal; `packed` exposes the parsed source and
-    // bucket columns alongside it.
+    // #sources x #buckets, not #sources (Packing.bucketKey). With a
+    // split, the key leads with the split side so no pack crosses the
+    // train/val boundary (the parsed `source` column then reads
+    // "train#src0"). The raw composite key is internal; `packed` exposes
+    // the parsed source and bucket columns alongside it.
+    val packBy =
+      if (cfg.valPermille.isDefined)
+        concat_ws("#", col("split"), col("source"))
+      else col("source")
     val (packSrc, packBucket) = Packing.parseBucketKey(col("group"))
     val packed = Packing.packGreedy(
-        kept.withColumn("len", length(col("text")))
+        corpus.withColumn("len", length(col("text")))
           .withColumn("__pack_grp",
-            Packing.bucketKey(col("source"), col("doc_id"), cfg.idsPerBucket)),
+            Packing.bucketKey(packBy, col("doc_id"), cfg.idsPerBucket)),
         "__pack_grp", "doc_id", "len", cfg.budget)
       .withColumn("source", packSrc)
       .withColumn("bucket", packBucket)
 
-    Result(nInput, scrubbed, eval, exact, pairs, canonical, kept, packed,
-      miner)
+    Result(nInput, scrubbed, eval, exact, pairs, canonical, kept, corpus,
+      packed, miner)
   }
 }

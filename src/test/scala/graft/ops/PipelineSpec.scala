@@ -71,4 +71,49 @@ class PipelineSpec extends AnyFunSuite {
     res.miner.handles.foreach(f => assert(f.storageLevel == uncached,
       "miner signature table still cached after Result.unpersist()"))
   }
+
+  test("split + mix knobs: similar pairs share a side, packs never cross it, val is never thinned") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val fillers = (3L to 18L).map { i =>
+      (i, s"filler document number $i carrying its own distinct vocabulary " +
+        s"word${i}a word${i}b word${i}c word${i}d word${i}e and nothing shared")
+    }
+    // docs 1 and 2 share the 14-word base (J ~ 0.67): merely similar —
+    // above splitJaccard 0.3, below the 0.95 fold bar, so BOTH survive
+    // dedup and the split must keep them on one side
+    val docs = (Seq(
+      (1L, s"$base one extra words here"),
+      (2L, s"$base two other tail words")) ++ fillers)
+      .toDF("doc_id", "text").withColumn("source", lit("s0"))
+
+    val cfgSplit = Pipeline.Config(jaccardThreshold = 0.95,
+      valPermille = Some(400), splitJaccard = 0.3, budget = 300)
+    val res = Pipeline.run(docs, cfgSplit)
+    val side = res.corpus.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(side.size == 18, "nothing folded or dropped at these thresholds")
+    assert(side(1L) == side(2L), "the merely-similar pair straddles the split")
+    assert(side.values.toSet == Set("train", "val"), "both sides occupied")
+    // packs never cross the boundary, and the parsed source leads with it
+    res.packed.collect().foreach { r =>
+      val sides = r.getSeq[Long](4).map(side)
+      assert(sides.distinct.size == 1, s"pack ${r.getLong(1)} mixes sides")
+      assert(r.getAs[String]("source") == s"${sides.head}#s0")
+    }
+    res.unpersist()
+
+    // the mix thins ONLY the train side, deterministically: same split,
+    // val rows identical, train rows a subset of the unmixed run's
+    val res2 = Pipeline.run(docs, cfgSplit.copy(mixTargetRows = Some(6L)))
+    val side2 = res2.corpus.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val valIds = side.collect { case (id, "val") => id }.toSet
+    assert(side2.collect { case (id, "val") => id }.toSet == valIds,
+      "validation rows must never be thinned")
+    val train2 = side2.collect { case (id, "train") => id }.toSet
+    val train1 = side.collect { case (id, "train") => id }.toSet
+    assert(train2.subsetOf(train1) && train2.size < train1.size,
+      s"mix should thin the train side (${train1.size} -> ${train2.size})")
+    res2.unpersist()
+  }
 }
