@@ -1277,6 +1277,93 @@ object Queries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Token-budget epoch planner ([[graft.ops.EpochPlan]]): per-source
+    * repeat factors under a total token budget with sqrt-temperature
+    * shares — the "epochs per source" op of a training recipe. The same
+    * three meta-sources as q43; budget = the corpus's own token total,
+    * so the small source plans >1 whole epoch and the dominant source
+    * is fractionally subsampled, exercising both sides of the plan in
+    * one grading. All math is exact integer (BigInt / HUGEINT) after
+    * IEEE-exact sqrt/floor, so DuckDB reproduces the emitted multiset
+    * bit-for-bit via generate_series.
+    */
+  private def q45(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val meta = docs.withColumn("mix_source",
+      when(col("source") === "src0", lit("a"))
+        .when(col("source").isin("src1", "src2", "src3", "src4"), lit("b"))
+        .otherwise(lit("c")))
+    val budget = docs.agg(sum(col("n_chars"))).head.getLong(0)
+    graft.ops.EpochPlan.epochSample(meta, "doc_id", "mix_source",
+        "n_chars", budget,
+        Some(graft.ops.SourceMix.multiplicativeKey(col("doc_id"))))
+      .select(col("doc_id"), col("mix_source"), col("epoch"))
+      .orderBy(col("mix_source"), col("doc_id"), col("epoch"))
+  }
+
+  private val q45Sql =
+    """WITH m AS (
+      |  SELECT doc_id, n_chars,
+      |         CASE WHEN source = 'src0' THEN 'a'
+      |              WHEN source IN ('src1','src2','src3','src4') THEN 'b'
+      |              ELSE 'c' END AS mix_source
+      |  FROM documents),
+      |c AS (SELECT mix_source, CAST(sum(n_chars) AS BIGINT) AS toks
+      |      FROM m GROUP BY 1),
+      |w AS (SELECT mix_source, toks,
+      |        CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 1000) AS BIGINT) AS wgt
+      |      FROM c),
+      |b AS (SELECT CAST(sum(n_chars) AS BIGINT) AS budget FROM documents),
+      |p AS (SELECT w.mix_source, w.toks,
+      |        (b.budget * w.wgt) // (SELECT sum(wgt) FROM w) AS quota
+      |      FROM w, b),
+      |pl AS (SELECT mix_source, quota // toks AS base,
+      |         (1000000 * (quota % toks)) // toks AS thr
+      |       FROM p),
+      |k AS (SELECT m.doc_id, m.mix_source,
+      |        pl.base + CASE WHEN (m.doc_id * 2654435761) % 1000000 < pl.thr
+      |                       THEN 1 ELSE 0 END AS n_copies
+      |      FROM m JOIN pl USING (mix_source))
+      |SELECT k.doc_id, k.mix_source, CAST(t.e AS BIGINT) AS epoch
+      |FROM k, unnest(generate_series(1, CAST(k.n_copies AS BIGINT))) AS t(e)
+      |ORDER BY mix_source, doc_id, epoch""".stripMargin
+
+  /** Pairwise source-overlap matrix ([[graft.ops.SourceOverlap]]): the
+    * corpus-diversity audit — Jaccard of distinct word-shingle sets for
+    * every source pair that shares a shingle. Spark intersects 64-bit
+    * shingle hashes (collision odds S^2/2^65, immaterial at any graded
+    * scale); the oracle intersects the shingle strings themselves, so a
+    * pass certifies the hash stand-in too. The oracle mirrors
+    * ShingleHashes' <k-words whole-text fallback.
+    */
+  private def q46(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    graft.ops.SourceOverlap.overlapMatrix(docs, "text", "source", shingleK = 3)
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  private val q46Sql =
+    """WITH sh0 AS (
+      |  SELECT source,
+      |         CASE WHEN len(w) < 3 THEN [text]
+      |              ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                                  for i in range(1, len(w) - 1)]) END AS shl
+      |  FROM (SELECT source, text, string_split(text, ' ') AS w FROM documents)),
+      |s AS (SELECT DISTINCT source, sh
+      |      FROM (SELECT source, unnest(shl) AS sh FROM sh0)),
+      |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+      |i AS (SELECT a.source AS source_a, b.source AS source_b,
+      |             CAST(count(*) AS BIGINT) AS intersect_sh
+      |      FROM s a JOIN s b ON a.sh = b.sh AND a.source < b.source
+      |      GROUP BY 1, 2)
+      |SELECT i.source_a, i.source_b, i.intersect_sh,
+      |       na.n + nb.n - i.intersect_sh AS union_sh,
+      |       round(CAST(i.intersect_sh AS DOUBLE)
+      |             / (na.n + nb.n - i.intersect_sh), 6) AS jaccard
+      |FROM i JOIN n na ON i.source_a = na.source
+      |       JOIN n nb ON i.source_b = nb.source
+      |ORDER BY source_a, source_b""".stripMargin
+
   // ----------------------------------------------------------------- table
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -1323,6 +1410,8 @@ object Queries {
     "q41_top_words_sketch" -> QueryDef(q41, Some(q38Sql)),
     "q42_batch_knn"        -> QueryDef(q42, Some(q42Sql)),
     "q43_source_mix"       -> QueryDef(q43, Some(q43Sql)),
-    "q44_leakfree_split"   -> QueryDef(q44, Some(q44Sql))
+    "q44_leakfree_split"   -> QueryDef(q44, Some(q44Sql)),
+    "q45_epoch_plan"       -> QueryDef(q45, Some(q45Sql)),
+    "q46_source_overlap"   -> QueryDef(q46, Some(q46Sql))
   )
 }

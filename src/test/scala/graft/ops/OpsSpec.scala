@@ -536,4 +536,98 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getInt(1) == 3)
     assert(math.abs(r.getDouble(2) - 6.0 / 8.0) < 1e-9)
   }
+
+  test("EpochPlan: exact integer plan, both repeat and subsample sides, determinism") {
+    // hand-checked: tokens = (10000, 40000) -> w = (100000, 200000),
+    // sumW = 300000, budget = 50000 ->
+    //   Q_a = 16666 -> base 1, thr = 1e6*6666/10000  = 666600
+    //   Q_b = 33333 -> base 0, thr = 1e6*33333/40000 = 833325
+    assert(EpochPlan.plan(Seq("a" -> 10000L, "b" -> 40000L), 50000L) ==
+      Seq(("a", 1L, 666600L), ("b", 0L, 833325L)))
+    // a mistyped budget fails loudly instead of emitting a 1000x corpus
+    val boom = intercept[IllegalArgumentException] {
+      EpochPlan.plan(Seq("a" -> 10L), budgetTokens = 1000000L)
+    }
+    assert(boom.getMessage.contains("maxEpochs"))
+    // ... unless the caller raises the bound explicitly
+    assert(EpochPlan.plan(Seq("a" -> 10L), 1000000L, maxEpochs = 200000L)
+      .head._2 == 100000L)
+
+    // 100 docs of 100 tokens in 'a', 400 docs of 100 tokens in 'b'
+    val docs = (0L until 500L).map { i =>
+      (i, if (i < 100) "a" else "b", 100L)
+    }.toDF("doc_id", "src", "n_tok")
+    val out = EpochPlan.epochSample(docs, "doc_id", "src", "n_tok", 50000L,
+      Some(SourceMix.multiplicativeKey(col("doc_id"))))
+    val got = out.select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // independent Scala replica of the oracle arithmetic
+    val thr = Map("a" -> (1L, 666600L), "b" -> (0L, 833325L))
+    val expect = (0L until 500L).flatMap { i =>
+      val (base, t) = thr(if (i < 100) "a" else "b")
+      val copies = base + (if ((i * 2654435761L) % 1000000L < t) 1L else 0L)
+      (1L to copies).map(e => (i, e))
+    }.sorted
+    assert(got == expect)
+    // epochs are 1-based and contiguous per doc
+    val byDoc = got.groupBy(_._1).values
+    assert(byDoc.forall(es => es.map(_._2).sorted == (1L to es.size).toSeq))
+    // deterministic under the default (xxhash64) key too
+    val d1 = EpochPlan.epochSample(docs, "doc_id", "src", "n_tok", 50000L)
+      .select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val d2 = EpochPlan.epochSample(docs, "doc_id", "src", "n_tok", 50000L)
+      .select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(d1 == d2)
+    // expected token totals track the quotas (uniform key, generous slack):
+    // a ~ 16666 tokens = ~166 rows, b ~ 33333 tokens = ~333 rows
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(bySrc("a") - 166L) <= 40, s"a emitted ${bySrc("a")}")
+    assert(math.abs(bySrc("b") - 333L) <= 60, s"b emitted ${bySrc("b")}")
+    // NULL source rows get no plan row and are absent from the sample
+    val withNull = docs.withColumn("src",
+      when(col("doc_id") === 0L, lit(null: String)).otherwise(col("src")))
+    assert(EpochPlan.epochSample(withNull, "doc_id", "src", "n_tok", 50000L)
+      .filter(col("doc_id") === 0L).isEmpty)
+  }
+
+  test("SourceOverlap: matrix matches a string-set replica; empty intersections absent") {
+    // replicate ShingleHashes semantics on strings: distinct word
+    // triples, whole text when < 3 words
+    def shingleSet(text: String): Set[String] = {
+      val w = text.split(" ")
+      if (w.length < 3) Set(text)
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val docs = Seq(
+      (0L, "A", "the quick brown fox jumps over the lazy dog"),
+      (1L, "A", "pad words the quick brown fox leaps high"),
+      (2L, "B", "the quick brown fox jumps over a fence"),
+      (3L, "B", "two words"),                     // <3-word fallback lane
+      (4L, "C", "entirely disjoint vocabulary nothing shared here at all")
+    ).toDF("doc_id", "source", "text")
+    val got = SourceOverlap.overlapMatrix(docs, "text", "source", shingleK = 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+
+    val sets = Map(
+      "A" -> (shingleSet(docs.collect()(0).getString(2)) ++
+        shingleSet(docs.collect()(1).getString(2))),
+      "B" -> (shingleSet(docs.collect()(2).getString(2)) ++
+        shingleSet(docs.collect()(3).getString(2))),
+      "C" -> shingleSet(docs.collect()(4).getString(2)))
+    for (Seq(a, b) <- Seq("A", "B", "C").combinations(2)) {
+      val inter = (sets(a) & sets(b)).size.toLong
+      if (inter == 0) assert(!got.contains((a, b)), s"($a,$b) should be absent")
+      else {
+        val union = (sets(a) | sets(b)).size.toLong
+        val (gi, gu, gj) = got((a, b))
+        assert(gi == inter && gu == union, s"($a,$b): got ($gi,$gu) want ($inter,$union)")
+        assert(math.abs(gj - inter.toDouble / union) < 1e-6)
+      }
+    }
+    // A and B genuinely overlap (shared "the quick brown" run); C shares nothing
+    assert(got.contains(("A", "B")) && !got.contains(("A", "C")) &&
+      !got.contains(("B", "C")))
+  }
 }
