@@ -167,10 +167,13 @@ object Main {
           jaccardThreshold = flagOr(opts, "jaccard", "0.8").toDouble,
           budget = flagOr(opts, "budget", "4096").toInt,
           // --val-permille N: leakage-free holdout split columns;
-          // --mix-target N: sqrt-temperature train-mix thinning
+          // --mix-target N: sqrt-temperature train-mix thinning;
+          // --epoch-budget N: token(char)-budget epoch planning (repeats
+          //   + fractional remainder per source; alternative to mix)
           valPermille = opts.get("val-permille").filter(_.nonEmpty).map(_.toInt),
           splitJaccard = flagOr(opts, "split-jaccard", "0.5").toDouble,
-          mixTargetRows = opts.get("mix-target").filter(_.nonEmpty).map(_.toLong))
+          mixTargetRows = opts.get("mix-target").filter(_.nonEmpty).map(_.toLong),
+          epochBudgetTokens = opts.get("epoch-budget").filter(_.nonEmpty).map(_.toLong))
         val res = graft.ops.Pipeline.run(spark.read.parquet(opts("input")), cfg)
         res.packed.write.mode("overwrite").parquet(s"$out/packs")
         res.corpus.write.mode("overwrite").parquet(s"$out/docs")

@@ -55,7 +55,17 @@ object Pipeline {
         * [[SourceMix.temperatureSample]] sqrt-temperature shares;
         * validation rows are never thinned
         */
-      mixTargetRows: Option[Long] = None)
+      mixTargetRows: Option[Long] = None,
+      /** token-budget epoch planning: when set, the train side is
+        * expanded/thinned to this expected CHARACTER total with
+        * [[EpochPlan.epochSample]] (whole-epoch repeats + fractional
+        * remainder per source, sqrt-temperature shares; length(text) is
+        * the token proxy) and the corpus gains a 1-based `epoch`
+        * column. Validation rows are never repeated or thinned (their
+        * epoch is the constant 1). Alternative to `mixTargetRows` —
+        * epochs generalize thinning, so setting both is refused.
+        */
+      epochBudgetTokens: Option[Long] = None)
 
   /** `packed`'s `group` column is the composite (source, id-range
     * bucket) packing key; the parsed `source` and `bucket` columns are
@@ -150,7 +160,10 @@ object Pipeline {
     }
     // optional training-mix thinning; validation rows are never thinned
     // (an eval set must stay complete)
-    val corpus = cfg.mixTargetRows match {
+    require(!(cfg.mixTargetRows.isDefined && cfg.epochBudgetTokens.isDefined),
+      "mixTargetRows and epochBudgetTokens are alternative recipe " +
+        "samplers (epochs generalize thinning); set at most one")
+    val mixed = cfg.mixTargetRows match {
       case None => withSplit
       case Some(t) if cfg.valPermille.isDefined =>
         withSplit.filter(col("split") === "val").unionByName(
@@ -158,6 +171,23 @@ object Pipeline {
             withSplit.filter(col("split") === "train"), "doc_id", "source", t))
       case Some(t) =>
         SourceMix.temperatureSample(withSplit, "doc_id", "source", t)
+    }
+    // optional token-budget epoch planning (the budget-driven
+    // generalization of mix thinning: whole-epoch repeats + fractional
+    // remainder per source). An epoch-repeated doc packs as two items
+    // with the same doc_id — pack seq_ids then carry the id once per
+    // epoch, by design. Validation rows keep epoch = 1.
+    val corpus = cfg.epochBudgetTokens match {
+      case None => mixed
+      case Some(b) =>
+        def expand(df: DataFrame): DataFrame =
+          EpochPlan.epochSample(
+            df.withColumn("__n_tok", length(col("text")).cast("long")),
+            "doc_id", "source", "__n_tok", b).drop("__n_tok")
+        if (cfg.valPermille.isDefined)
+          mixed.filter(col("split") === "val").withColumn("epoch", lit(1L))
+            .unionByName(expand(mixed.filter(col("split") === "train")))
+        else expand(mixed)
     }
 
     // corpus-scale packing key: (source, id-range bucket) — parallelism

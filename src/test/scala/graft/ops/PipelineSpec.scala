@@ -115,5 +115,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(train2.subsetOf(train1) && train2.size < train1.size,
       s"mix should thin the train side (${train1.size} -> ${train2.size})")
     res2.unpersist()
+
+    // the epoch knob: budget ~2x the train text repeats train docs (epoch
+    // column appears, some doc reaches epoch 2), val rows stay exactly
+    // one copy at epoch 1, and setting both samplers is refused
+    val trainChars = docs.filter(col("doc_id").isin(train1.toSeq: _*))
+      .agg(sum(length(col("text")))).head.getLong(0)
+    val res3 = Pipeline.run(docs,
+      cfgSplit.copy(epochBudgetTokens = Some(trainChars * 2)))
+    val rows3 = res3.corpus.select("doc_id", "split", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val valRows = rows3.filter(_._2 == "val")
+    assert(valRows.map(_._1).toSet == valIds && valRows.forall(_._3 == 1L),
+      "validation rows must stay one copy at epoch 1")
+    // one source, budget 2x -> every train doc plans base 2 epochs
+    assert(rows3.filter(_._2 == "train").groupBy(_._1).values
+      .forall(_.map(_._3).sorted.startsWith(Seq(1L, 2L))),
+      "a 2x budget should repeat every train doc at least twice")
+    res3.unpersist()
+    val both = intercept[IllegalArgumentException] {
+      Pipeline.run(docs, cfgSplit.copy(mixTargetRows = Some(6L),
+        epochBudgetTokens = Some(1000L)))
+    }
+    assert(both.getMessage.contains("alternative recipe samplers"))
   }
 }
