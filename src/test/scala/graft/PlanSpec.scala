@@ -133,6 +133,39 @@ class PlanSpec extends AnyFunSuite {
       "a corpus-side shuffle for the threshold join defeats the one-pass design")
   }
 
+  test("EpochPlan: plan table broadcasts, no window, explode is the only amplification") {
+    import spark.implicits._
+    val docs = (0L until 2000L).map(i => (i, s"s${i % 3}", 50L))
+      .toDF("doc_id", "src", "n_tok")
+    val p = plan(graft.ops.EpochPlan.epochSample(docs, "doc_id", "src",
+      "n_tok", 150000L))
+    assert(p.contains("BroadcastHashJoin"),
+      "the sources-sized plan table must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "a corpus-side shuffle for the plan join defeats the one-pass design")
+    assert(!p.contains("Window"), "epoch assignment must not use a window")
+  }
+
+  test("SourceOverlap: sizes and intersections share ONE cached co-occurrence pass") {
+    import spark.implicits._
+    val docs = (0L until 60L).map { i =>
+      (i, s"s${i % 4}", s"word${i % 7} alpha beta gamma delta word${i % 5} tail")
+    }.toDF("doc_id", "source", "text")
+    val h = graft.ops.SourceOverlap.overlapMatrixH(docs, "text", "source")
+    try {
+      val p = plan(h.value)
+      // all three consumers (off-diagonal + two size broadcasts) must
+      // read the cached sources^2 frame — that cache is what makes the
+      // corpus shingle/shuffle run exactly once (each InMemoryRelation
+      // render re-prints the cached subtree, so counting shingle_hashes
+      // occurrences in the STRING would be meaningless)
+      assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+        s"every consumer must read the cached sources^2 frame:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        "size joins must broadcast (sources^2-sized build side)")
+    } finally h.close()
+  }
+
   test("brute-force top-k plans as TakeOrderedAndProject (no global sort)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val p = plan(graft.ops.Similarity.bruteTopK(
