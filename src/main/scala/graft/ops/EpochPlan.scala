@@ -103,6 +103,8 @@ object EpochPlan {
       // (the empty-array gotcha), it does not yield an empty array
       .filter(col("__copies") >= 1L)
       .withColumn("epoch", explode(sequence(lit(1L), col("__copies"))))
-      .drop("__base", "__thr", "__copies")
+      // the key join moved sourceCol to position 0 — restore input
+      // order (+ epoch), matching the empty-catalog path's schema
+      .select((df.columns.map(col) :+ col("epoch")).toIndexedSeq: _*)
   }
 }

@@ -97,7 +97,10 @@ object SourceMix {
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
       .collect().filter(!_.isNullAt(0))
       .map(r => (r.getString(0), r.getLong(1))).toSeq
-    if (counts.isEmpty) return df // structurally empty — nothing to thin
+    // empty catalog = empty input OR every source NULL; either way the
+    // NULL-source contract says no row is sampled (plain `df` here would
+    // keep an all-NULL corpus whole)
+    if (counts.isEmpty) return df.filter(col(sourceCol).isNotNull)
     val spark = df.sparkSession
     import spark.implicits._
     val thrDf = thresholds(counts, targetRows).toDF(sourceCol, "__thr")
@@ -105,5 +108,7 @@ object SourceMix {
     df.join(broadcast(thrDf), Seq(sourceCol))
       .filter(key < col("__thr"))
       .drop("__thr")
+      // the key join moved sourceCol to position 0 — restore input order
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 }
