@@ -354,6 +354,14 @@ class OpsSpec extends AnyFunSuite {
       (i * 2654435761L) % 1000000L < t
     }.toSet
     assert(keyKept == replica)
+
+    // output schema preserves the INPUT column order (the threshold join
+    // would otherwise move src to position 0)
+    assert(kept.columns.toSeq == docs.columns.toSeq)
+    // all-NULL-source corpus: the NULL contract (no recipe bucket -> not
+    // sampled) applies even when the source catalog comes back empty
+    val allNull = docs.withColumn("src", lit(null).cast("string"))
+    assert(SourceMix.temperatureSample(allNull, "doc_id", "src", 150L).isEmpty)
   }
 
   test("zero-norm vectors never RANK in any top-k path (NaN sorts above 1.0 under desc)") {
@@ -589,6 +597,12 @@ class OpsSpec extends AnyFunSuite {
       when(col("doc_id") === 0L, lit(null: String)).otherwise(col("src")))
     assert(EpochPlan.epochSample(withNull, "doc_id", "src", "n_tok", 50000L)
       .filter(col("doc_id") === 0L).isEmpty)
+    // output schema = input columns in INPUT order + epoch (the plan join
+    // would otherwise move src to position 0), on both code paths
+    assert(out.columns.toSeq == docs.columns.toSeq :+ "epoch")
+    val allNull = docs.withColumn("src", lit(null).cast("string"))
+    val empty = EpochPlan.epochSample(allNull, "doc_id", "src", "n_tok", 50000L)
+    assert(empty.isEmpty && empty.columns.toSeq == docs.columns.toSeq :+ "epoch")
   }
 
   test("SourceOverlap: matrix matches a string-set replica; empty intersections absent") {
@@ -629,5 +643,88 @@ class OpsSpec extends AnyFunSuite {
     // A and B genuinely overlap (shared "the quick brown" run); C shares nothing
     assert(got.contains(("A", "B")) && !got.contains(("A", "C")) &&
       !got.contains(("B", "C")))
+  }
+
+  test("TrainOrder: bucketed rank == direct global rank, permutation, determinism, ties") {
+    val docs = (0L until 997L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val out = TrainOrder.trainOrder(docs, "doc_id", shards = 8,
+        mixKey = Some(SourceMix.multiplicativeKey(col("doc_id"))))
+      .select("doc_id", "shard", "ord").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent replica: the DIRECT global rank over (key, id)
+    val expect = (0L until 997L)
+      .map(i => (i, (i * 2654435761L) % 1000000L))
+      .sortBy { case (i, k) => (k, i) }.zipWithIndex
+      .map { case ((i, k), ord) => (i, (k * 8L) / 1000000L, ord.toLong) }
+      .toSet
+    assert(out.toSet == expect)
+    // ord is a contiguous 0-based permutation and shards follow the order
+    assert(out.map(_._3).sorted.toSeq == (0L until 997L))
+    assert(out.sortBy(_._3).map(_._2).toSeq == out.map(_._2).sorted.toSeq)
+    // column order: input + shard + ord
+    assert(TrainOrder.trainOrder(docs, "doc_id").columns.toSeq ==
+      Seq("doc_id", "text", "shard", "ord"))
+    // deterministic under the default xxhash64 key
+    val d1 = TrainOrder.trainOrder(docs, "doc_id")
+      .select("doc_id", "ord").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val d2 = TrainOrder.trainOrder(docs, "doc_id")
+      .select("doc_id", "ord").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(d1 == d2)
+    // epoch-repeated corpus: key over (id, epoch) + epoch tiebreak is a
+    // total order — still a permutation, still deterministic
+    val rep = docs.withColumn("epoch", explode(sequence(lit(1L), lit(3L))))
+    def orderedRep() = TrainOrder.trainOrder(rep, "doc_id", shards = 8,
+        mixKey = Some(pmod(xxhash64(lit(7L), col("doc_id"), col("epoch")),
+          lit(TrainOrder.M))),
+        tieCols = Seq("epoch"))
+      .select("doc_id", "epoch", "ord").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val r1 = orderedRep()
+    assert(r1.map(_._3).sorted.toSeq == (0L until 3 * 997L))
+    assert(r1.sorted.toSeq == orderedRep().sorted.toSeq)
+    // the three epochs of one doc scatter (not back-to-back): doc 0's
+    // positions span more than a 3-slot run
+    val pos0 = r1.filter(_._1 == 0L).map(_._3)
+    assert(pos0.max - pos0.min > 2, s"epochs trained back-to-back: ${pos0.toSeq}")
+    // empty input: schema stable
+    val empty = TrainOrder.trainOrder(docs.limit(0), "doc_id")
+    assert(empty.isEmpty && empty.columns.toSeq ==
+      Seq("doc_id", "text", "shard", "ord"))
+  }
+
+  test("Split.leakageReport: leak-free split has zero straddles, naive leaks, absent endpoints surface") {
+    val docs = (0L until 100L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    // NOT consecutive ids: the multiplicative key's fixed stride mod 1000
+    // puts every (i, i+1) pair on the SAME side of the 400 bar — these
+    // pairs mix both-val, both-train, and genuine straddles
+    val pairList = Seq((0L, 1L), (3L, 5L), (4L, 8L), (9L, 13L), (16L, 20L),
+      (2L, 6L), (24L, 26L))
+    val pairs = pairList.toDF("id_a", "id_b")
+    val safe = Split.leakFreeSplit(docs, "doc_id", pairs, valPermille = 400,
+      key = Split.multiplicativeKey)
+    val safeRep = Split.leakageReport(safe, "doc_id", "split", pairs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(!safeRep.contains(("train", "val")),
+      s"leak-free split leaked: $safeRep")
+    assert(safeRep.values.sum == 7L) // every pair accounted for
+    // naive per-doc split: at least one planted pair straddles (replica)
+    val naive = docs.withColumn("split",
+      when(Split.multiplicativeKey(col("doc_id")) < 400L, lit("val"))
+        .otherwise(lit("train")))
+    val naiveRep = Split.leakageReport(naive, "doc_id", "split", pairs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val straddles = pairList.count { case (a, b) =>
+      ((a * 2654435761L) % 1000L < 400L) != ((b * 2654435761L) % 1000L < 400L)
+    }
+    assert(straddles > 0, "fixture must plant at least one naive straddle")
+    assert(naiveRep.getOrElse(("train", "val"), 0L) == straddles.toLong)
+    assert(naiveRep.values.sum == 7L)
+    // an endpoint missing from the assignment reports as "absent"
+    val dropped = safe.filter(col("doc_id") =!= 1L)
+    val absRep = Split.leakageReport(dropped, "doc_id", "split", pairs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(absRep.keys.exists(k => k._1 == "absent" || k._2 == "absent"),
+      s"dropped endpoint vanished from the audit: $absRep")
+    assert(absRep.values.sum == 7L)
   }
 }
