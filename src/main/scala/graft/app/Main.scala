@@ -173,7 +173,10 @@ object Main {
           valPermille = opts.get("val-permille").filter(_.nonEmpty).map(_.toInt),
           splitJaccard = flagOr(opts, "split-jaccard", "0.5").toDouble,
           mixTargetRows = opts.get("mix-target").filter(_.nonEmpty).map(_.toLong),
-          epochBudgetTokens = opts.get("epoch-budget").filter(_.nonEmpty).map(_.toLong))
+          epochBudgetTokens = opts.get("epoch-budget").filter(_.nonEmpty).map(_.toLong),
+          // --order-shards N: deterministic training-order columns
+          //   (shard, ord) on the shipped corpus (graft.ops.TrainOrder)
+          orderShards = opts.get("order-shards").filter(_.nonEmpty).map(_.toInt))
         val res = graft.ops.Pipeline.run(spark.read.parquet(opts("input")), cfg)
         res.packed.write.mode("overwrite").parquet(s"$out/packs")
         res.corpus.write.mode("overwrite").parquet(s"$out/docs")

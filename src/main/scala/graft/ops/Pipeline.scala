@@ -65,7 +65,15 @@ object Pipeline {
         * epoch is the constant 1). Alternative to `mixTargetRows` —
         * epochs generalize thinning, so setting both is refused.
         */
-      epochBudgetTokens: Option[Long] = None)
+      epochBudgetTokens: Option[Long] = None,
+      /** training-order materialization: when set, the shipped corpus
+        * gains (shard, ord) columns via [[TrainOrder.trainOrder]] — a
+        * deterministic global shuffle with this many range shards (the
+        * per-task sort bound). With epochs on, the order key covers
+        * (doc_id, epoch) so the copies of a repeated document scatter
+        * across the run instead of training back-to-back.
+        */
+      orderShards: Option[Int] = None)
 
   /** `packed`'s `group` column is the composite (source, id-range
     * bucket) packing key; the parsed `source` and `bucket` columns are
@@ -177,7 +185,7 @@ object Pipeline {
     // remainder per source). An epoch-repeated doc packs as two items
     // with the same doc_id — pack seq_ids then carry the id once per
     // epoch, by design. Validation rows keep epoch = 1.
-    val corpus = cfg.epochBudgetTokens match {
+    val corpus0 = cfg.epochBudgetTokens match {
       case None => mixed
       case Some(b) =>
         def expand(df: DataFrame): DataFrame =
@@ -188,6 +196,19 @@ object Pipeline {
           mixed.filter(col("split") === "val").withColumn("epoch", lit(1L))
             .unionByName(expand(mixed.filter(col("split") === "train")))
         else expand(mixed)
+    }
+    // optional deterministic global shuffle of the shipped corpus; with
+    // epochs the key covers (doc_id, epoch) — same doc, different
+    // positions per epoch — and epoch breaks the rank tie
+    val corpus = cfg.orderShards match {
+      case None => corpus0
+      case Some(s) if cfg.epochBudgetTokens.isDefined =>
+        TrainOrder.trainOrder(corpus0, "doc_id", s,
+          mixKey = Some(pmod(
+            xxhash64(lit(0x73687566L), col("doc_id"), col("epoch")),
+            lit(TrainOrder.M))),
+          tieCols = Seq("epoch"))
+      case Some(s) => TrainOrder.trainOrder(corpus0, "doc_id", s)
     }
 
     // corpus-scale packing key: (source, id-range bucket) — parallelism
@@ -201,8 +222,11 @@ object Pipeline {
         concat_ws("#", col("split"), col("source"))
       else col("source")
     val (packSrc, packBucket) = Packing.parseBucketKey(col("group"))
+    // packs build from the PRE-order frame: packing regroups anyway, and
+    // consuming `corpus` here would drag the order stage's offset join
+    // into the packing plan for columns packs never read
     val packed = Packing.packGreedy(
-        corpus.withColumn("len", length(col("text")))
+        corpus0.withColumn("len", length(col("text")))
           .withColumn("__pack_grp",
             Packing.bucketKey(packBy, col("doc_id"), cfg.idsPerBucket)),
         "__pack_grp", "doc_id", "len", cfg.budget)
