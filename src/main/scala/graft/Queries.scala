@@ -1364,6 +1364,104 @@ object Queries {
       |       JOIN n nb ON i.source_b = nb.source
       |ORDER BY source_a, source_b""".stripMargin
 
+  /** Deterministic training-order materialization
+    * ([[graft.ops.TrainOrder]]): every document gets its global 0-based
+    * position `ord` under a reproducible pseudo-random shuffle plus the
+    * range `shard` it lands in — computed WITHOUT a global sort (range
+    * buckets of the hash key + broadcast prefix offsets + per-shard
+    * windows). The oracle computes the same rank the direct way — one
+    * row_number over the whole order — so a pass certifies the
+    * decomposition. Integer math only; the multiplicative key is the
+    * DuckDB-computable stand-in for xxhash64.
+    */
+  private def q47(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    graft.ops.TrainOrder.trainOrder(docs, "doc_id", shards = 8,
+        mixKey = Some(graft.ops.SourceMix.multiplicativeKey(col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("ord"))
+      .orderBy(col("ord"))
+  }
+
+  private val q47Sql =
+    """WITH k AS (SELECT doc_id,
+      |             (doc_id * 2654435761) % 1000000 AS key
+      |           FROM documents)
+      |SELECT doc_id,
+      |       CAST((key * 8) // 1000000 AS BIGINT) AS shard,
+      |       CAST(row_number() OVER (ORDER BY key, doc_id) - 1 AS BIGINT)
+      |         AS ord
+      |FROM k
+      |ORDER BY ord""".stripMargin
+
+  /** Split-leakage audit ([[graft.ops.Split.leakageReport]]): count
+    * near-dup pairs per (split_a, split_b) combination under BOTH the
+    * leakage-free cluster split (q44's) and the naive per-document hash
+    * split it replaces, in one report. The leak-free method's val/train
+    * straddle count is zero by construction; the naive method's is not —
+    * the audit makes the difference a graded number. Mining and
+    * components are exactly q44's (already oracle-certified); the audit
+    * on top is two id-keyed joins and a catalog-sized groupBy.
+    */
+  private def q48(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val cands = Dedup.minhashCandidates(docs, "text", "doc_id",
+      shingleK = 3, perms = 32, bands = 16, minJaccard = 0.2)
+    // the small pair-id set feeds three consumers (components + both
+    // report joins): eagerly checkpoint it so downstream analysis never
+    // re-embeds the mining tree (round-5 lesson)
+    val pairs = rerankedPairs(docs, cands, 0.5)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val safe = graft.ops.Split.leakFreeSplit(docs, "doc_id", pairs,
+      valPermille = 200, key = graft.ops.Split.multiplicativeKey)
+    val naive = docs.withColumn("split",
+      when(graft.ops.Split.multiplicativeKey(col("doc_id")) <
+        lit(200L), lit("val")).otherwise(lit("train")))
+    graft.ops.Split.leakageReport(safe, "doc_id", "split", pairs)
+      .withColumn("method", lit("leakfree"))
+      .unionByName(
+        graft.ops.Split.leakageReport(naive, "doc_id", "split", pairs)
+          .withColumn("method", lit("naive")))
+      .select(col("method"), col("split_a"), col("split_b"), col("n_pairs"))
+      .orderBy(col("method"), col("split_a"), col("split_b"))
+  }
+
+  private val q48Sql = {
+    val j = """round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              |        len(list_distinct(list_concat(a.sh, b.sh))), 6)""".stripMargin
+    s"""WITH RECURSIVE s AS (SELECT doc_id,
+       |  CASE WHEN len(w) < 3 THEN [text]
+       |       ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                           for i in range(1, len(w) - 1)]) END AS sh
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |      FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $j >= 0.5),
+       |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+       |lab AS (
+       |  SELECT a AS id, comp FROM
+       |    (SELECT a, b AS comp FROM e UNION SELECT a, a AS comp FROM e)
+       |  UNION
+       |  SELECT l.id, e2.b AS comp FROM lab l JOIN e e2 ON l.comp = e2.a),
+       |comps AS (SELECT id, min(comp) AS component FROM lab GROUP BY id),
+       |assign AS (SELECT d.doc_id,
+       |  CASE WHEN (COALESCE(c.component, d.doc_id) * 2654435761) % 1000 < 200
+       |       THEN 'val' ELSE 'train' END AS lf,
+       |  CASE WHEN (d.doc_id * 2654435761) % 1000 < 200
+       |       THEN 'val' ELSE 'train' END AS nv
+       |  FROM documents d LEFT JOIN comps c ON d.doc_id = c.id),
+       |r AS (
+       |  SELECT 'leakfree' AS method,
+       |         least(a.lf, b.lf) AS split_a, greatest(a.lf, b.lf) AS split_b
+       |  FROM p JOIN assign a ON p.id_a = a.doc_id
+       |         JOIN assign b ON p.id_b = b.doc_id
+       |  UNION ALL
+       |  SELECT 'naive', least(a.nv, b.nv), greatest(a.nv, b.nv)
+       |  FROM p JOIN assign a ON p.id_a = a.doc_id
+       |         JOIN assign b ON p.id_b = b.doc_id)
+       |SELECT method, split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM r GROUP BY 1, 2, 3
+       |ORDER BY method, split_a, split_b""".stripMargin
+  }
+
   // ----------------------------------------------------------------- table
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -1412,6 +1510,8 @@ object Queries {
     "q43_source_mix"       -> QueryDef(q43, Some(q43Sql)),
     "q44_leakfree_split"   -> QueryDef(q44, Some(q44Sql)),
     "q45_epoch_plan"       -> QueryDef(q45, Some(q45Sql)),
-    "q46_source_overlap"   -> QueryDef(q46, Some(q46Sql))
+    "q46_source_overlap"   -> QueryDef(q46, Some(q46Sql)),
+    "q47_train_order"      -> QueryDef(q47, Some(q47Sql)),
+    "q48_split_audit"      -> QueryDef(q48, Some(q48Sql))
   )
 }

@@ -68,4 +68,40 @@ object Split {
         when(key(col("split_rep")) < lit(valPermille.toLong), lit("val"))
           .otherwise(lit("train")))
   }
+
+  /** Split-leakage audit — the check that makes the guarantee above
+    * observable (and catches the naive per-document split it replaces):
+    * join the near-dup pair list to a split assignment on BOTH endpoints
+    * and count pairs per unordered (split_a, split_b) combination. Any
+    * row with split_a != split_b is leakage: a near-duplicate pair
+    * straddling the train/val boundary. An endpoint absent from
+    * `assigned` (e.g. the document was dropped upstream) reports as
+    * "absent" rather than silently vanishing — an audit that drops the
+    * suspicious rows isn't one.
+    *
+    * Output: (split_a, split_b, n_pairs), split_a <= split_b.
+    *
+    * 100-TB posture: `assigned` contributes only a narrow (id, split)
+    * projection; the two joins are id-keyed hash joins where the pair
+    * list — capped by the mining machinery — is the small side (AQE
+    * broadcasts it on mostly-unique corpora); the final groupBy is
+    * catalog-sized (split labels squared).
+    */
+  def leakageReport(assigned: DataFrame, idCol: String, splitCol: String,
+                    pairs: DataFrame,
+                    aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val slim = assigned.select(col(idCol).as("__sid"),
+      col(splitCol).cast("string").as("__sv"))
+    val joined = pairs.select(col(aCol), col(bCol))
+      .join(slim, col(aCol) === col("__sid"), "left")
+      .withColumn("__sa", coalesce(col("__sv"), lit("absent")))
+      .drop("__sid", "__sv")
+      .join(slim, col(bCol) === col("__sid"), "left")
+      .withColumn("__sb", coalesce(col("__sv"), lit("absent")))
+    joined
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

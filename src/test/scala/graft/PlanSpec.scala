@@ -166,6 +166,18 @@ class PlanSpec extends AnyFunSuite {
     } finally h.close()
   }
 
+  test("TrainOrder: no global sort — sharded window + broadcast offsets only") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(graft.ops.TrainOrder.trainOrder(docs, "doc_id", shards = 8))
+    assert(p.contains("Window"), "rank must come from a window")
+    assert(!p.contains("Exchange SinglePartition"),
+      "an unpartitioned window would pull the corpus through ONE task")
+    assert(p.contains("BroadcastHashJoin"),
+      "the S-sized offset table must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "a corpus-side shuffle for the offset join defeats the design")
+  }
+
   test("brute-force top-k plans as TakeOrderedAndProject (no global sort)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val p = plan(graft.ops.Similarity.bruteTopK(

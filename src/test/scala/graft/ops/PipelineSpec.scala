@@ -138,5 +138,21 @@ class PipelineSpec extends AnyFunSuite {
         epochBudgetTokens = Some(1000L)))
     }
     assert(both.getMessage.contains("alternative recipe samplers"))
+
+    // the order knob on top of epochs: corpus gains (shard, ord), ord is
+    // a contiguous 0-based permutation, and the row multiset is EXACTLY
+    // res3's (ordering annotates, never adds or drops)
+    val res4 = Pipeline.run(docs,
+      cfgSplit.copy(epochBudgetTokens = Some(trainChars * 2),
+        orderShards = Some(4)))
+    val rows4 = res4.corpus.select("doc_id", "split", "epoch", "ord").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows4.map(t => (t._1, t._2, t._3)).sorted.toSeq == rows3.sorted.toSeq,
+      "the order stage must not change the shipped row multiset")
+    assert(rows4.map(_._4).sorted.toSeq == (0L until rows4.length.toLong),
+      "ord must be a contiguous 0-based permutation")
+    // packs are unaffected by the order annotation
+    assert(res4.packed.columns.toSeq == res3.packed.columns.toSeq)
+    res4.unpersist()
   }
 }
