@@ -57,7 +57,7 @@ object EpochPlan {
     require(budgetTokens >= 0, s"budgetTokens ($budgetTokens) must be >= 0")
     val weighted = tokens.map { case (s, t) =>
       require(t > 0, s"source $s has non-positive token total $t")
-      (s, t, BigInt(math.floor(math.sqrt(t.toDouble) * 1000).toLong))
+      (s, t, SourceMix.sqrtWeight(t))
     }
     val sumW = weighted.map(_._3).sum
     weighted.map { case (s, t, w) =>
@@ -85,11 +85,14 @@ object EpochPlan {
       s"$sourceCol must be a string column (got " +
         s"${df.schema(sourceCol).dataType.simpleString}); cast first")
     // same NULL-source contract as SourceMix: a row with no recipe
-    // bucket gets no plan row and the inner join drops it
+    // bucket gets no plan row and the inner join drops it. A ZERO-token
+    // source is dropped the same way — no tokens means no claim on a
+    // token budget (and no divisor for a plan); negative totals still
+    // fail loudly inside plan() as data corruption.
     val totals = df.groupBy(col(sourceCol))
       .agg(sum(col(tokensCol).cast("long")).as("__t"))
       .collect().filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
+      .map(r => (r.getString(0), r.getLong(1))).filter(_._2 != 0L).toSeq
     if (totals.isEmpty) return df.limit(0).withColumn("epoch", lit(1L))
     val spark = df.sparkSession
     import spark.implicits._
@@ -97,6 +100,12 @@ object EpochPlan {
       .toDF(sourceCol, "__base", "__thr")
     val key = mixKey.getOrElse(SourceMix.defaultKey(col(idCol)))
     df.join(broadcast(planDf), Seq(sourceCol))
+      // a row with no identity (NULL id) or no key cannot take a
+      // deterministic fractional-copy decision — drop it instead of
+      // silently emitting base copies. NOTE the id check is load-bearing
+      // even under the default key: Spark's xxhash64 SKIPS null
+      // children, so key(NULL id) is a shared constant, not NULL.
+      .filter(col(idCol).isNotNull && key.isNotNull)
       .withColumn("__copies",
         col("__base") + when(key < col("__thr"), lit(1L)).otherwise(lit(0L)))
       // filter BEFORE sequence(): sequence(1, 0) descends to [1, 0]

@@ -63,6 +63,15 @@ object SourceMix {
   def multiplicativeKey(id: Column): Column =
     pmod(id * lit(2654435761L), lit(M))
 
+  /** The sqrt-temperature weight: floor(sqrt(n) * 1000) as BigInt.
+    * Shared by [[thresholds]] and [[EpochPlan.plan]] — sqrt and floor
+    * on doubles are IEEE correctly rounded (bit-identical across
+    * engines), and everything downstream of this helper is integer
+    * arithmetic, which is the whole cross-engine determinism argument.
+    */
+  private[ops] def sqrtWeight(n: Long): BigInt =
+    BigInt(math.floor(math.sqrt(n.toDouble) * 1000).toLong)
+
   /** Exact per-source keep thresholds in [0, M], from per-source counts.
     * Pure integer math (BigInt): floor division, saturating cap.
     */
@@ -71,7 +80,7 @@ object SourceMix {
     require(targetRows >= 0, s"targetRows ($targetRows) must be >= 0")
     val weighted = counts.map { case (s, n) =>
       require(n > 0, s"source $s has non-positive count $n")
-      (s, n, BigInt(math.floor(math.sqrt(n.toDouble) * 1000).toLong))
+      (s, n, sqrtWeight(n))
     }
     val sumW = weighted.map(_._3).sum
     weighted.map { case (s, n, w) =>
@@ -106,7 +115,10 @@ object SourceMix {
     val thrDf = thresholds(counts, targetRows).toDF(sourceCol, "__thr")
     val key = mixKey.getOrElse(defaultKey(col(idCol)))
     df.join(broadcast(thrDf), Seq(sourceCol))
-      .filter(key < col("__thr"))
+      // the explicit id check is load-bearing: xxhash64 skips null
+      // children, so the default key maps a NULL id to a shared
+      // constant (not NULL) and the row would be sampled by it
+      .filter(col(idCol).isNotNull && key < col("__thr"))
       .drop("__thr")
       // the key join moved sourceCol to position 0 — restore input order
       .select(df.columns.map(col).toIndexedSeq: _*)

@@ -65,7 +65,9 @@ object SourceOverlap {
         explode(TextOps.shingles(col(textCol), shingleK)).as("__h"))
       .groupBy(col("__h"))
       // per-hash state is bounded by the source CATALOG, not data
-      .agg(sort_array(collect_set(col("__src"))).as("__ss"))
+      // (no sort: the a <= b filter below canonicalizes pairs and the
+      // pair count is order-insensitive)
+      .agg(collect_set(col("__src")).as("__ss"))
       .select(explode(col("__ss")).as("source_a"), col("__ss"))
       .select(col("source_a"), explode(col("__ss")).as("source_b"))
       .filter(col("source_a") <= col("source_b"))

@@ -61,7 +61,11 @@ object Split {
     // "component" column must not make the coalesce ambiguous
     val labels = Components.connectedComponents(pairs, aCol, bCol)
       .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
-    df.join(labels, df(idCol) === col("__cc_id"), "left")
+    // a NULL id has no representative and no key: key(NULL) is NULL and
+    // the when() would silently bucket the row into 'train' (even at
+    // valPermille = 1000) — drop it like the sibling recipe ops do
+    df.filter(df(idCol).isNotNull)
+      .join(labels, df(idCol) === col("__cc_id"), "left")
       .withColumn("split_rep", coalesce(col("__cc_comp"), df(idCol)))
       .drop("__cc_id", "__cc_comp")
       .withColumn("split",

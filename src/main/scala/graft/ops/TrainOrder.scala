@@ -43,6 +43,16 @@ object TrainOrder {
   /** Order-key modulus (shared with the recipe samplers). */
   val M: Long = SourceMix.M
 
+  /** Default order key: xxhash64 of (seed, id) in [0, M). The seed is
+    * deliberately DISTINCT from [[SourceMix.defaultKey]]'s: mix-then-
+    * order with a shared key would sort the corpus by the very key that
+    * gated survival — every thinned source's survivors have keys below
+    * their threshold, so they'd concentrate at the START of the
+    * training order instead of interleaving uniformly.
+    */
+  def defaultKey(id: Column, seed: Long = 0x73687566L): Column =
+    pmod(xxhash64(lit(seed), id), lit(M))
+
   /** Annotate `df` with (shard, ord): `ord` is the global 0-based
     * training position under the deterministic shuffle, `shard` its
     * range bucket (shard boundaries follow the order: all of shard s
@@ -63,17 +73,28 @@ object TrainOrder {
       s"shards ($shards) must be in [1, $M]")
     val spark = df.sparkSession
     import spark.implicits._
-    val key = mixKey.getOrElse(SourceMix.defaultKey(col(idCol)))
+    val key = mixKey.getOrElse(defaultKey(col(idCol)))
     // Column./ is DOUBLE division; floor+cast is exact here because
     // key < M and shards <= M bound the product at 1e12 < 2^53
     val keyed = df
       .withColumn("__key", key)
-      .filter(col("__key").isNotNull)
+      // NULL-id rows must go too (not just NULL keys): xxhash64 skips
+      // null children, so the default key maps every NULL id to one
+      // shared constant — they'd tie on (key, id) and rank
+      // nondeterministically
+      .filter(col(idCol).isNotNull && col("__key").isNotNull)
       .withColumn("shard",
         floor((col("__key") * lit(shards.toLong)) / lit(M)).cast("long"))
     // S-sized: map-side partial agg, collected once on the driver
     val counts = keyed.groupBy(col("shard")).agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // row_number() is IntegerType: a shard past 2^31 rows would wrap
+    // ord negative mid-shard with no error — refuse loudly instead
+    counts.foreach { case (s, n) =>
+      require(n <= Int.MaxValue.toLong,
+        s"shard $s holds $n rows (> Int.MaxValue, row_number would " +
+          "overflow); raise `shards`")
+    }
     if (counts.isEmpty)
       return df.limit(0)
         .withColumn("shard", lit(0L)).withColumn("ord", lit(0L))

@@ -603,6 +603,22 @@ class OpsSpec extends AnyFunSuite {
     val allNull = docs.withColumn("src", lit(null).cast("string"))
     val empty = EpochPlan.epochSample(allNull, "doc_id", "src", "n_tok", 50000L)
     assert(empty.isEmpty && empty.columns.toSeq == docs.columns.toSeq :+ "epoch")
+    // a ZERO-token source has no claim on a token budget: dropped like a
+    // NULL source, never a crash (its rows are absent, others planned)
+    val withZero = docs.unionByName(
+      Seq((900L, "z", 0L), (901L, "z", 0L)).toDF("doc_id", "src", "n_tok"))
+    val zeroOut = EpochPlan.epochSample(withZero, "doc_id", "src", "n_tok",
+      50000L, Some(SourceMix.multiplicativeKey(col("doc_id"))))
+    assert(zeroOut.filter(col("src") === "z").isEmpty)
+    assert(zeroOut.select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == expect)
+    // a NULL-key row can't take the fractional-copy decision: dropped
+    // (SourceMix contract), never silently emitted base_s times
+    val nullId = docs.withColumn("doc_id",
+      when(col("doc_id") === 5L, lit(null).cast("long"))
+        .otherwise(col("doc_id")))
+    assert(EpochPlan.epochSample(nullId, "doc_id", "src", "n_tok", 50000L)
+      .filter(col("doc_id").isNull).isEmpty)
   }
 
   test("SourceOverlap: matrix matches a string-set replica; empty intersections absent") {
@@ -692,6 +708,25 @@ class OpsSpec extends AnyFunSuite {
       Seq("doc_id", "text", "shard", "ord"))
   }
 
+  test("TrainOrder after SourceMix: the order is NOT the survival key's order (distinct seeds)") {
+    // mix-then-order with a SHARED key would sort survivors by the very
+    // key that gated survival: each thinned source's rows concentrate at
+    // the start of the run in threshold-nested prefixes. The default
+    // order seed is distinct, so the mix key must look shuffled when
+    // read in training order.
+    val docs = (0L until 800L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "src")
+    val kept = SourceMix.temperatureSample(docs, "doc_id", "src", 300L)
+    val inOrder = TrainOrder.trainOrder(kept, "doc_id")
+      .withColumn("__mixkey", SourceMix.defaultKey(col("doc_id")))
+      .orderBy(col("ord")).select("__mixkey").collect().map(_.getLong(0))
+    assert(inOrder.length > 100, "fixture must keep a meaningful sample")
+    val sortedRuns = inOrder.sliding(2).count(p => p(0) <= p(1))
+    // a shared key gives a fully non-decreasing sequence (every pair
+    // ordered); independent keys give ~half
+    assert(sortedRuns < inOrder.length * 3 / 4,
+      s"training order tracks the mix key ($sortedRuns/${inOrder.length - 1} ordered pairs)")
+  }
+
   test("Split.leakageReport: leak-free split has zero straddles, naive leaks, absent endpoints surface") {
     val docs = (0L until 100L).map(i => (i, s"text$i")).toDF("doc_id", "text")
     // NOT consecutive ids: the multiplicative key's fixed stride mod 1000
@@ -726,5 +761,15 @@ class OpsSpec extends AnyFunSuite {
     assert(absRep.keys.exists(k => k._1 == "absent" || k._2 == "absent"),
       s"dropped endpoint vanished from the audit: $absRep")
     assert(absRep.values.sum == 7L)
+    // a NULL id can't be keyed: dropped from the assignment (key(NULL)
+    // would otherwise silently bucket the row into 'train')
+    val nullId = docs.withColumn("doc_id",
+      when(col("doc_id") === 50L, lit(null).cast("long"))
+        .otherwise(col("doc_id")))
+    val nullSplit = Split.leakFreeSplit(nullId, "doc_id", pairs,
+      valPermille = 1000, key = Split.multiplicativeKey)
+    assert(nullSplit.filter(col("doc_id").isNull).isEmpty)
+    // valPermille = 1000 means EVERY keyed row is val — nothing in train
+    assert(nullSplit.filter(col("split") === "train").isEmpty)
   }
 }
