@@ -1462,6 +1462,44 @@ object Queries {
        |ORDER BY method, split_a, split_b""".stripMargin
   }
 
+  /** Corpus snapshot diff ([[graft.ops.CorpusDiff]]): added / removed /
+    * changed documents between two snapshots, unchanged excluded — the
+    * dataset-versioning audit a pipeline iteration produces. The
+    * "after" snapshot is derived deterministically in BOTH engines
+    * (drop doc_id % 11 == 0, append " v2" to doc_id % 7 == 0, add
+    * doc_id % 13 == 0 back under id + 1000000), so the classification
+    * is exact. Spark compares 128-bit content keys (text never enters
+    * the join exchange); the oracle compares the strings themselves,
+    * certifying the hash stand-in.
+    */
+  private def q49(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val before = docs.select(col("doc_id"), col("text"))
+    val after = docs.filter(pmod(col("doc_id"), lit(11L)) =!= 0L)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7L)) === 0L,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(13L)) === 0L)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+    graft.ops.CorpusDiff.diff(before, after, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q49Sql =
+    """WITH b AS (SELECT doc_id, text FROM documents),
+      |a AS (SELECT doc_id,
+      |        CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      |      FROM documents WHERE doc_id % 11 != 0
+      |      UNION ALL
+      |      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0)
+      |SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+      |       CASE WHEN b.doc_id IS NULL THEN 'added'
+      |            WHEN a.doc_id IS NULL THEN 'removed'
+      |            ELSE 'changed' END AS status
+      |FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id
+      |WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR b.text != a.text
+      |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------- table
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -1512,6 +1550,7 @@ object Queries {
     "q45_epoch_plan"       -> QueryDef(q45, Some(q45Sql)),
     "q46_source_overlap"   -> QueryDef(q46, Some(q46Sql)),
     "q47_train_order"      -> QueryDef(q47, Some(q47Sql)),
-    "q48_split_audit"      -> QueryDef(q48, Some(q48Sql))
+    "q48_split_audit"      -> QueryDef(q48, Some(q48Sql)),
+    "q49_corpus_diff"      -> QueryDef(q49, Some(q49Sql))
   )
 }

@@ -178,6 +178,19 @@ class PlanSpec extends AnyFunSuite {
       "a corpus-side shuffle for the offset join defeats the design")
   }
 
+  test("CorpusDiff: no exchange ever carries text — 24-byte rows only") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val exchanges = exchangeOutputs(graft.ops.CorpusDiff.diff(
+      docs, docs.withColumn("text", concat(col("text"), lit("x"))),
+      "doc_id", "text"))
+    assert(exchanges.nonEmpty, "full outer join must exchange on the id")
+    exchanges.foreach { cols =>
+      assert(!cols.contains("text"),
+        s"an exchange carries the payload: $cols")
+    }
+  }
+
   test("brute-force top-k plans as TakeOrderedAndProject (no global sort)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val p = plan(graft.ops.Similarity.bruteTopK(

@@ -772,4 +772,31 @@ class OpsSpec extends AnyFunSuite {
     // valPermille = 1000 means EVERY keyed row is val — nothing in train
     assert(nullSplit.filter(col("split") === "train").isEmpty)
   }
+
+  test("CorpusDiff: added/removed/changed exactly, unchanged absent, null edges") {
+    val before = Seq(
+      (1L, "alpha"), (2L, "bravo"), (3L, "charlie"), (4L, "delta"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val after = Seq(
+      (1L, "alpha"),            // unchanged -> absent
+      (2L, "bravo EDITED"),     // changed
+      // 3 removed
+      (4L, null.asInstanceOf[String]), // text -> NULL: changed
+      (5L, null.asInstanceOf[String]), // NULL -> NULL: unchanged
+      (6L, "echo")              // added
+    ).toDF("doc_id", "text")
+    val got = CorpusDiff.diff(before, after, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "changed",
+      6L -> "added"), s"got $got")
+    // NULL-id rows have no identity and are not diffable
+    val withNullId = before.unionByName(
+      Seq((null.asInstanceOf[java.lang.Long], "ghost"))
+        .toDF("doc_id", "text"))
+    assert(CorpusDiff.diff(withNullId, after, "doc_id", "text")
+      .filter(col("doc_id").isNull).isEmpty)
+    // identical snapshots diff to nothing
+    assert(CorpusDiff.diff(before, before, "doc_id", "text").isEmpty)
+  }
 }
