@@ -184,6 +184,16 @@ object Main {
         val nPacks = spark.read.parquet(s"$out/packs").count()
         println(s"Pipeline: ${res.nInput} docs in -> $nKept kept -> $nPacks packs" +
           s" (budget ${cfg.budget} chars) at $out")
+        // --funnel: per-(source, stage) survivor counts — the "which
+        // stage ate source X" attribution view
+        if (opts.contains("funnel"))
+          graft.ops.Pipeline.sourceFunnel(res)
+            .orderBy(col("source"), col("stage_idx")).collect()
+            .foreach { r =>
+              println(f"  funnel ${r.getAs[String]("source")}%-10s " +
+                f"${r.getAs[Int]("stage_idx")}%d:${r.getAs[String]("stage")}%-14s " +
+                f"${r.getAs[Long]("n_docs")}%d")
+            }
         res.unpersist()
 
       case "cut-spans" =>

@@ -236,4 +236,27 @@ object Pipeline {
     Result(nInput, scrubbed, eval, exact, pairs, canonical, kept, corpus,
       packed, miner)
   }
+
+  /** Per-source funnel over a run: one row per (source, stage) with the
+    * surviving document count — the attribution view that answers "which
+    * stage ate source X" without re-running anything. `scrubbed` counts
+    * every post-quality doc; eval sources exit after it (they leave at
+    * the eval split, by design); per source the counts are
+    * non-increasing through `decontaminated`, and `shipped` can exceed
+    * it when epoch repeats are on. Cheap by construction:
+    * every stage frame is either persisted by [[run]] or a narrow
+    * derivation of one, and each count is a sources-sized map-side
+    * partial groupBy.
+    */
+  def sourceFunnel(res: Result): DataFrame = {
+    def st(df: DataFrame, idx: Int, name: String): DataFrame =
+      df.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("stage_idx", lit(idx)).withColumn("stage", lit(name))
+    st(res.scrubbed, 1, "scrubbed")
+      .unionByName(st(res.exact, 2, "exact_dedup"))
+      .unionByName(st(res.canonical, 3, "near_dedup"))
+      .unionByName(st(res.kept, 4, "decontaminated"))
+      .unionByName(st(res.corpus, 5, "shipped"))
+      .select(col("source"), col("stage_idx"), col("stage"), col("n_docs"))
+  }
 }

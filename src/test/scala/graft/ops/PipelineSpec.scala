@@ -153,6 +153,22 @@ class PipelineSpec extends AnyFunSuite {
       "ord must be a contiguous 0-based permutation")
     // packs are unaffected by the order annotation
     assert(res4.packed.columns.toSeq == res3.packed.columns.toSeq)
+
+    // the funnel reads the run's own cached frames: counts non-increasing
+    // per source through decontaminated, shipped reflects the epoch
+    // expansion, and stage 5 == the corpus row count exactly
+    val funnel = Pipeline.sourceFunnel(res4)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Int]("stage_idx"), r.getAs[Long]("n_docs")))
+    val bySrc = funnel.groupBy(_._1)
+    bySrc.foreach { case (src, rows) =>
+      val byStage = rows.sortBy(_._2)
+      val throughDecon = byStage.filter(_._2 <= 4).map(_._3)
+      assert(throughDecon.zip(throughDecon.tail).forall { case (a, b) => b <= a },
+        s"$src funnel increased before decontaminated: ${byStage.toSeq}")
+    }
+    assert(funnel.filter(_._2 == 5).map(_._3).sum == rows4.length.toLong,
+      "shipped stage must count the corpus exactly")
     res4.unpersist()
   }
 }
