@@ -1500,6 +1500,60 @@ object Queries {
       |WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR b.text != a.text
       |ORDER BY doc_id""".stripMargin
 
+  /** Exact-substring dedup APPLIED end to end ([[graft.ops.DupSpans]]
+    * keep-first + cut — the Lee et al. transformation, not just the
+    * span report q39 grades): every duplicated 8-word window's
+    * globally-first occurrence survives, all later copies are cut from
+    * their documents, and the rewritten corpus itself is graded. Spark
+    * decides on 64-bit window hashes (text never enters the stats
+    * exchange); the oracle re-derives spans from the window TEXT and
+    * rebuilds each document with string_agg, certifying both the hash
+    * stand-in and the native [[graft.ops.CutSpans]] rewrite. Documents
+    * that lose every word (later copies of whole-doc duplicates) must
+    * come back as the empty string, not vanish.
+    */
+  private def q50(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val toCut = graft.ops.DupSpans.dupSpansKeepFirst(
+      docs, "text", "doc_id", windowWords = 8)
+    graft.ops.DupSpans.cutSpans(docs, "text", "doc_id", toCut)
+      .select(col("doc_id").as("id"), col("text_cut"))
+      .orderBy(col("id"))
+  }
+
+  private val q50Sql =
+    """WITH shl AS (SELECT doc_id, len(w) AS n_words,
+      |    CASE WHEN len(w) < 8 THEN [text]
+      |         ELSE [array_to_string(w[i:i+7], ' ')
+      |               for i in range(1, len(w) - 6)] END AS sh
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+      |        FROM documents)),
+      |win AS (SELECT doc_id, n_words,
+      |    generate_subscripts(sh, 1) - 1 AS pos, unnest(sh) AS h
+      |  FROM shl),
+      |flagged AS (SELECT doc_id, n_words, pos FROM (
+      |    SELECT doc_id, n_words, pos,
+      |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      |    FROM win) WHERE rn > 1),
+      |isl AS (SELECT doc_id, n_words, pos,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM flagged),
+      |spans AS (SELECT doc_id, min(pos) AS span_start,
+      |    least(count(*) + 7, max(n_words)) AS span_words
+      |  FROM isl GROUP BY doc_id, island),
+      |words AS (SELECT doc_id, generate_subscripts(w, 1) - 1 AS widx,
+      |    unnest(w) AS word
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      |kept AS (SELECT * FROM words wd WHERE NOT EXISTS (
+      |    SELECT 1 FROM spans s WHERE s.doc_id = wd.doc_id
+      |      AND wd.widx >= s.span_start
+      |      AND wd.widx < s.span_start + s.span_words)),
+      |rebuilt AS (SELECT doc_id, string_agg(word, ' ' ORDER BY widx) AS t
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id AS id, coalesce(r.t, '') AS text_cut
+      |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+      |ORDER BY id""".stripMargin
+
   // ----------------------------------------------------------------- table
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -1551,6 +1605,7 @@ object Queries {
     "q46_source_overlap"   -> QueryDef(q46, Some(q46Sql)),
     "q47_train_order"      -> QueryDef(q47, Some(q47Sql)),
     "q48_split_audit"      -> QueryDef(q48, Some(q48Sql)),
-    "q49_corpus_diff"      -> QueryDef(q49, Some(q49Sql))
+    "q49_corpus_diff"      -> QueryDef(q49, Some(q49Sql)),
+    "q50_dedup_cut"        -> QueryDef(q50, Some(q50Sql))
   )
 }

@@ -129,6 +129,20 @@ class DupSpansSpec extends AnyFunSuite {
     h.close()
   }
 
+  test("end-to-end cut: later whole-doc duplicates empty out but keep their row") {
+    // q50's contract: a doc that loses EVERY word (a later copy of a
+    // whole-doc duplicate) must come back as "", not vanish from the
+    // corpus — downstream joins key on id and must still see the row
+    val long = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq(1L -> long, 2L -> long, 3L -> "all fresh words here")
+      .toDF("doc_id", "text")
+    val cut = DupSpans.cutSpans(docs, "text", "doc_id",
+        DupSpans.dupSpansKeepFirst(docs, "text", "doc_id", windowWords = 4))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_cut"))
+      .toMap
+    assert(cut == Map(1L -> long, 2L -> "", 3L -> "all fresh words here"))
+  }
+
   test("adjacent duplicated runs merge into one maximal island") {
     // two docs sharing a 10-word block -> one span of 10, not several
     val block = "p q r s t u v w x y"
