@@ -93,6 +93,13 @@ object Pipeline {
         * thinning — identical to `kept` when both knobs are off
         */
       corpus: DataFrame,
+      /** `corpus` BEFORE the optional order stage (identical when
+        * `orderShards` is off): same row multiset minus the (shard, ord)
+        * annotation — the frame to consume when only counts or contents
+        * matter, so the order stage's shuffle + per-shard sort + offset
+        * join never ride a job that ignores ordering
+        */
+      corpusPreOrder: DataFrame,
       packed: DataFrame,
       miner: Cached[DataFrame]) {
     def unpersist(): Unit = {
@@ -234,29 +241,41 @@ object Pipeline {
       .withColumn("bucket", packBucket)
 
     Result(nInput, scrubbed, eval, exact, pairs, canonical, kept, corpus,
-      packed, miner)
+      corpus0, packed, miner)
   }
 
   /** Per-source funnel over a run: one row per (source, stage) with the
     * surviving document count — the attribution view that answers "which
-    * stage ate source X" without re-running anything. `scrubbed` counts
-    * every post-quality doc; eval sources exit after it (they leave at
-    * the eval split, by design); per source the counts are
-    * non-increasing through `decontaminated`, and `shipped` can exceed
-    * it when epoch repeats are on. Cheap by construction:
-    * every stage frame is either persisted by [[run]] or a narrow
-    * derivation of one, and each count is a sources-sized map-side
-    * partial groupBy.
+    * stage ate source X" without re-running anything. The grid is
+    * COMPLETE over the sources seen at stage 1: a source fully
+    * eliminated later reports an explicit `n_docs = 0` there (absence
+    * would be indistinguishable from the source never having existed).
+    * `scrubbed` counts every post-quality doc; eval sources exit after
+    * it (they leave at the eval split, by design, so they read 0 from
+    * stage 2 on); per source the counts are non-increasing through
+    * `decontaminated`, and `shipped` can exceed it when epoch repeats
+    * are on. Cheap by construction: every stage frame is either
+    * persisted by [[run]] or a narrow derivation of one, each count is
+    * a sources-sized map-side partial groupBy, and `shipped` counts the
+    * PRE-order frame — ordering is pinned row-multiset-preserving, and
+    * counting `corpus` would drag the order stage's shuffle + per-shard
+    * sort + offset join into a counts-only job.
     */
   def sourceFunnel(res: Result): DataFrame = {
-    def st(df: DataFrame, idx: Int, name: String): DataFrame =
-      df.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val stages = Seq(
+      (1, "scrubbed", res.scrubbed), (2, "exact_dedup", res.exact),
+      (3, "near_dedup", res.canonical), (4, "decontaminated", res.kept),
+      (5, "shipped", res.corpusPreOrder))
+    val counts = stages.map { case (idx, name, df) =>
+      df.groupBy(col("source")).agg(count(lit(1)).as("__n"))
         .withColumn("stage_idx", lit(idx)).withColumn("stage", lit(name))
-    st(res.scrubbed, 1, "scrubbed")
-      .unionByName(st(res.exact, 2, "exact_dedup"))
-      .unionByName(st(res.canonical, 3, "near_dedup"))
-      .unionByName(st(res.kept, 4, "decontaminated"))
-      .unionByName(st(res.corpus, 5, "shipped"))
-      .select(col("source"), col("stage_idx"), col("stage"), col("n_docs"))
+    }.reduce(_ unionByName _)
+    val spark = res.scrubbed.sparkSession
+    import spark.implicits._
+    val grid = res.scrubbed.select(col("source")).distinct()
+      .crossJoin(stages.map(s => (s._1, s._2)).toDF("stage_idx", "stage"))
+    grid.join(counts, Seq("source", "stage_idx", "stage"), "left")
+      .select(col("source"), col("stage_idx"), col("stage"),
+        coalesce(col("__n"), lit(0L)).as("n_docs"))
   }
 }

@@ -60,6 +60,19 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(1), r.getSeq[Long](4).toList))
     assert(packs.toSeq == Seq((0L, List(4L, 6L))))
 
+    // 6b. the funnel grid is COMPLETE: both sources report all 5 stages,
+    // and the eval source (which exits after scrubbed by design) reads
+    // explicit zeros from exact_dedup on — never a missing row
+    val funnel0 = Pipeline.sourceFunnel(res)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Int]("stage_idx")) -> r.getAs[Long]("n_docs")).toMap
+    assert(funnel0.keySet == (for (s <- Set("train", "eval"); i <- 1 to 5)
+      yield (s, i)))
+    assert(funnel0(("eval", 1)) == 1L)
+    (2 to 5).foreach(i => assert(funnel0(("eval", i)) == 0L,
+      s"eval source must report an explicit 0 at stage $i"))
+    assert(funnel0(("train", 5)) == 2L) // docs 4 and 6 shipped
+
     // 7. unpersist releases EVERY table the run pinned — including the
     // miner's signature table via its Cached handle (round-2 left it
     // cached with no way to release short of clearCache())
