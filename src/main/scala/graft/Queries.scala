@@ -1554,6 +1554,35 @@ object Queries {
       |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
       |ORDER BY id""".stripMargin
 
+  /** Boilerplate inventory ([[graft.ops.DupSpans.boilerplate]]): every
+    * 8-word window occurring >= 3 times corpus-wide, with occurrence
+    * count, distinct-doc count, and the window TEXT reconstructed from
+    * its first occurrence — the audit read before choosing q39/q50's
+    * `maxWindowDf` cap. Spark mines on 64-bit hashes and reconstructs
+    * text by slicing the first occurrence's document; the oracle groups
+    * by the window text itself, so a pass certifies both the hash
+    * stand-in and the slice reconstruction.
+    */
+  private def q51(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.DupSpans.boilerplate(tbl(spark, dir, "documents"),
+        "text", "doc_id", windowWords = 8, minDf = 3L)
+      .orderBy(col("df").desc, col("window_text"))
+
+  private val q51Sql =
+    """WITH shl AS (SELECT doc_id, len(w) AS n_words,
+      |    CASE WHEN len(w) < 8 THEN [text]
+      |         ELSE [array_to_string(w[i:i+7], ' ')
+      |               for i in range(1, len(w) - 6)] END AS sh
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+      |        FROM documents)),
+      |win AS (SELECT doc_id,
+      |    generate_subscripts(sh, 1) - 1 AS pos, unnest(sh) AS h
+      |  FROM shl)
+      |SELECT h AS window_text, CAST(count(*) AS BIGINT) AS df,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM win GROUP BY h HAVING count(*) >= 3
+      |ORDER BY df DESC, window_text""".stripMargin
+
   // ----------------------------------------------------------------- table
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -1606,6 +1635,7 @@ object Queries {
     "q47_train_order"      -> QueryDef(q47, Some(q47Sql)),
     "q48_split_audit"      -> QueryDef(q48, Some(q48Sql)),
     "q49_corpus_diff"      -> QueryDef(q49, Some(q49Sql)),
-    "q50_dedup_cut"        -> QueryDef(q50, Some(q50Sql))
+    "q50_dedup_cut"        -> QueryDef(q50, Some(q50Sql)),
+    "q51_boilerplate"      -> QueryDef(q51, Some(q51Sql))
   )
 }

@@ -139,6 +139,37 @@ object DupSpans {
                         maxWindowDf: Long = Long.MaxValue): DataFrame =
     dupSpansKeepFirstH(df, textCol, idCol, windowWords, maxWindowDf).value
 
+  /** Boilerplate inventory — the audit report a pipeline operator reads
+    * BEFORE choosing [[dupSpansKeepFirstH]]'s `maxWindowDf` cap: every
+    * L-word window occurring at least `minDf` times corpus-wide, with
+    * its occurrence count, distinct-document count (within-doc loops and
+    * cross-doc boilerplate read very differently), and the window's TEXT
+    * reconstructed from its globally-first occurrence. One shingle pass;
+    * per-hash stats are a map-side-partial `groupBy` (`count(distinct
+    * id)` pre-groups on (h, id), so a 10^8-copy window still ships
+    * per-partition partials); the reconstruction join touches only the
+    * hot sliver (rows ~ boilerplate inventory size, AQE-broadcast
+    * against the corpus scan), and the slice is computed map-side —
+    * text enters no exchange. Short-doc fallback windows (< L words)
+    * reconstruct as the whole text, mirroring what they hash.
+    */
+  def boilerplate(df: DataFrame, textCol: String, idCol: String,
+                  windowWords: Int = 8, minDf: Long = 3L): DataFrame = {
+    val windows = windowsOf(df, textCol, idCol, windowWords,
+      materialize = false)
+    val hot = windows.value.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"),
+        countDistinct(col("id")).as("n_docs"),
+        min(struct(col("id"), col("pos"))).as("__first"))
+      .filter(col("df") >= minDf)
+    hot.join(df.select(col(idCol).as("__bid"), col(textCol).as("__btext")),
+        col("__first.id") === col("__bid"))
+      .select(array_join(slice(split(col("__btext"), " "),
+          col("__first.pos") + lit(1), lit(windowWords)), " ")
+          .as("window_text"),
+        col("df"), col("n_docs"))
+  }
+
   private def cutSpansNative(text: Column, spans: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       CutSpans(

@@ -143,6 +143,24 @@ class DupSpansSpec extends AnyFunSuite {
     assert(cut == Map(1L -> long, 2L -> "", 3L -> "all fresh words here"))
   }
 
+  test("boilerplate inventory: df/n_docs split, text reconstruction, fallback windows") {
+    val docs = Seq(
+      1L -> "b1 b2 b3 b4 m1 b1 b2 b3 b4",        // phrase twice in ONE doc
+      2L -> "u1 u2 b1 b2 b3 b4 u3 u4",           // once
+      3L -> "v1 b1 b2 b3 b4 v2 v3 v4 v5",        // once -> df 4 over 3 docs
+      4L -> "p1 p2 p3 p4 w1 w2",                  // pair phrase...
+      5L -> "z1 p1 p2 p3 p4 z2",                  // ...df 2: below minDf 3
+      7L -> "hi yo", 8L -> "hi yo", 9L -> "hi yo" // short-doc fallback, df 3
+    ).toDF("doc_id", "text")
+    val got = DupSpans.boilerplate(docs, "text", "doc_id",
+        windowWords = 4, minDf = 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // df counts OCCURRENCES (4: two in doc 1 + docs 2, 3) while n_docs
+    // counts documents (3) — the within-doc-loop vs cross-doc signal;
+    // the fallback window reconstructs as the whole short text
+    assert(got == Set(("b1 b2 b3 b4", 4L, 3L), ("hi yo", 3L, 3L)))
+  }
+
   test("adjacent duplicated runs merge into one maximal island") {
     // two docs sharing a 10-word block -> one span of 10, not several
     val block = "p q r s t u v w x y"
