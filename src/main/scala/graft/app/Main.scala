@@ -55,7 +55,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: Main (synth|validate|throughput|infer|stream|pipeline|cut-spans|dedup-stream|pipeline-stream) [--k v]...")
+      "usage: Main (synth|validate|throughput|infer|stream|pipeline|cut-spans|diff|boilerplate|dedup-stream|pipeline-stream) [--k v]...")
     val cmd = args.head
     val opts = argMap(args.tail)
     val spark = session(s"graft-$cmd")
@@ -224,6 +224,43 @@ object Main {
         val m = obs.get
         println(s"Cut duplicated spans (window=$window): ${m("n")} docs, " +
           s"${m("before")} -> ${m("after")} chars at $out")
+
+      case "diff" =>
+        // corpus snapshot diff (graft.ops.CorpusDiff): added / removed /
+        // changed documents between --before and --after, unchanged
+        // excluded — the dataset-versioning audit between two pipeline
+        // iterations. Per-status counts ride the write as an observation.
+        val beforePath = opts("before")
+        val afterPath = opts("after")
+        val out = flagOr(opts, "out", s"$afterPath-diff")
+        val obs = org.apache.spark.sql.Observation("diff")
+        def n(s: String) =
+          coalesce(sum(when(col("status") === s, 1L)), lit(0L)).as(s)
+        graft.ops.CorpusDiff.diff(spark.read.parquet(beforePath),
+            spark.read.parquet(afterPath), "doc_id", "text")
+          .observe(obs, n("added"), n("removed"), n("changed"))
+          .write.mode("overwrite").parquet(out)
+        val m = obs.get
+        println(s"Corpus diff: ${m("added")} added, ${m("removed")} removed, " +
+          s"${m("changed")} changed at $out")
+
+      case "boilerplate" =>
+        // boilerplate inventory (graft.ops.DupSpans.boilerplate): the
+        // audit read before choosing cut-spans' --max-window-df cap;
+        // prints the --top hottest windows (limit BEFORE collect: the
+        // driver must never materialize the full inventory)
+        val input = opts("input")
+        val window = flagOr(opts, "window", "8").toInt
+        val minDf = flagOr(opts, "min-df", "3").toLong
+        val top = flagOr(opts, "top", "20").toInt
+        graft.ops.DupSpans.boilerplate(spark.read.parquet(input),
+            "text", "doc_id", window, minDf)
+          .orderBy(col("df").desc, col("window_text"))
+          .limit(top).collect()
+          .foreach { r =>
+            println(f"  df=${r.getAs[Long]("df")}%-6d docs=${
+              r.getAs[Long]("n_docs")}%-6d ${r.getAs[String]("window_text")}")
+          }
 
       case "dedup-stream" =>
         // near-dup mining over a growing documents directory
