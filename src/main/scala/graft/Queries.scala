@@ -1583,6 +1583,36 @@ object Queries {
       |FROM win GROUP BY h HAVING count(*) >= 3
       |ORDER BY df DESC, window_text""".stripMargin
 
+  /** Per-source adaptive quality calibration
+    * ([[graft.ops.Calibration]]): each source's own bottom-decile length
+    * threshold, read EXACTLY off the (source, n_chars) histogram — one
+    * map-side-partial groupBy then catalog-sized windows, no corpus-row
+    * window anywhere. Grades the full report (threshold + n_docs +
+    * n_kept per source); ties at the threshold are kept by contract.
+    */
+  private def q52(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Calibration.thresholdReport(tbl(spark, dir, "documents"),
+        "source", "n_chars", p = 0.1)
+      .withColumnRenamed("group", "source")
+      .orderBy(col("source"))
+
+  private val q52Sql =
+    """WITH hist AS (SELECT source, n_chars AS score, count(*) AS c
+      |  FROM documents
+      |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      |  GROUP BY 1, 2),
+      |cum AS (SELECT source, score, c,
+      |    sum(c) OVER (PARTITION BY source ORDER BY score) AS cum,
+      |    sum(c) OVER (PARTITION BY source) AS n
+      |  FROM hist),
+      |thr AS (SELECT source, score, cum, c, n,
+      |    row_number() OVER (PARTITION BY source ORDER BY score) AS rn
+      |  FROM cum WHERE cum >= ceil(0.1 * n))
+      |SELECT source, CAST(score AS BIGINT) AS threshold,
+      |  CAST(n AS BIGINT) AS n_docs,
+      |  CAST(n - cum + c AS BIGINT) AS n_kept
+      |FROM thr WHERE rn = 1 ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------------- table
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -1636,6 +1666,7 @@ object Queries {
     "q48_split_audit"      -> QueryDef(q48, Some(q48Sql)),
     "q49_corpus_diff"      -> QueryDef(q49, Some(q49Sql)),
     "q50_dedup_cut"        -> QueryDef(q50, Some(q50Sql)),
-    "q51_boilerplate"      -> QueryDef(q51, Some(q51Sql))
+    "q51_boilerplate"      -> QueryDef(q51, Some(q51Sql)),
+    "q52_calibration"      -> QueryDef(q52, Some(q52Sql))
   )
 }
