@@ -176,7 +176,11 @@ object Main {
           epochBudgetTokens = opts.get("epoch-budget").filter(_.nonEmpty).map(_.toLong),
           // --order-shards N: deterministic training-order columns
           //   (shard, ord) on the shipped corpus (graft.ops.TrainOrder)
-          orderShards = opts.get("order-shards").filter(_.nonEmpty).map(_.toInt))
+          orderShards = opts.get("order-shards").filter(_.nonEmpty).map(_.toInt),
+          // --calibrate-trim P: drop each train source's bottom
+          //   P-fraction by post-scrub length (graft.ops.Calibration)
+          calibrateTrim =
+            opts.get("calibrate-trim").filter(_.nonEmpty).map(_.toDouble))
         val res = graft.ops.Pipeline.run(spark.read.parquet(opts("input")), cfg)
         res.packed.write.mode("overwrite").parquet(s"$out/packs")
         res.corpus.write.mode("overwrite").parquet(s"$out/docs")

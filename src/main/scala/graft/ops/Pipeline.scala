@@ -73,7 +73,16 @@ object Pipeline {
         * (doc_id, epoch) so the copies of a repeated document scatter
         * across the run instead of training back-to-back.
         */
-      orderShards: Option[Int] = None)
+      orderShards: Option[Int] = None,
+      /** per-source adaptive length calibration: when set, each TRAIN
+        * source's bottom p-fraction by post-scrub `length(text)` is
+        * dropped via [[Calibration.filterCalibrated]] before dedup — the
+        * per-source refinement of the global `rules.minChars` floor.
+        * Eval sources are never calibrated (thinning the eval set would
+        * weaken decontamination). Funnel note: the drop surfaces between
+        * the `scrubbed` and `exact_dedup` stages.
+        */
+      calibrateTrim: Option[Double] = None)
 
   /** `packed`'s `group` column is the composite (source, id-range
     * bucket) packing key; the parsed `source` and `bucket` columns are
@@ -122,7 +131,16 @@ object Pipeline {
       else (scrubbed.filter(!col("source").isin(cfg.evalSources: _*)),
         Some(scrubbed.filter(col("source").isin(cfg.evalSources: _*))))
 
-    val exactH = Dedup.dropExactDuplicatesH(train0, "text", "doc_id")
+    val train = cfg.calibrateTrim match {
+      case None => train0
+      case Some(p) =>
+        Calibration.filterCalibrated(
+            train0.withColumn("__cal_score", length(col("text"))),
+            "source", "__cal_score", p)
+          .drop("__cal_score")
+    }
+
+    val exactH = Dedup.dropExactDuplicatesH(train, "text", "doc_id")
     val exact = exactH.value.persist(StorageLevel.MEMORY_AND_DISK)
 
     // the handle variants persist the banded signature tables (one

@@ -85,6 +85,34 @@ class PipelineSpec extends AnyFunSuite {
       "miner signature table still cached after Result.unpersist()"))
   }
 
+  test("calibrateTrim knob: each train source drops its bottom fraction, eval is never calibrated") {
+    val alpha = "abcdefghij"
+    // doc i: i+1 distinct letter-words -> strictly increasing lengths,
+    // zero shared vocabulary (no dedup/decontamination interference)
+    val train = (1 to 8).map { i =>
+      (i.toLong,
+        (1 to i + 1).map(w => s"${alpha(i)}${alpha(w)}x").mkString(" "),
+        "train")
+    }
+    val ev = Seq((20L, "ev one", "eval"), (21L, "ev two three", "eval"))
+    val df = (train ++ ev).toDF("doc_id", "text", "source")
+    val rules = QualityFilter.Rules(minChars = 1, minAlphaRatio = 0.0)
+    val cfg = Pipeline.Config(evalSources = Seq("eval"), rules = rules)
+
+    val base = Pipeline.run(df, cfg)
+    assert(base.kept.select("doc_id").collect().map(_.getLong(0)).toSet
+      == (1L to 8L).toSet)
+    base.unpersist()
+
+    // p = 0.25 over 8 docs: ceil(2) -> threshold = 2nd-smallest length,
+    // so exactly the shortest doc drops; eval rows stay untouched
+    val cal = Pipeline.run(df, cfg.copy(calibrateTrim = Some(0.25)))
+    assert(cal.kept.select("doc_id").collect().map(_.getLong(0)).toSet
+      == (2L to 8L).toSet)
+    assert(cal.eval.get.count() == 2L)
+    cal.unpersist()
+  }
+
   test("split + mix knobs: similar pairs share a side, packs never cross it, val is never thinned") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
     val fillers = (3L to 18L).map { i =>
