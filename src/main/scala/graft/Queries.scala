@@ -1510,7 +1510,9 @@ object Queries {
     * rebuilds each document with string_agg, certifying both the hash
     * stand-in and the native [[graft.ops.CutSpans]] rewrite. Documents
     * that lose every word (later copies of whole-doc duplicates) must
-    * come back as the empty string, not vanish.
+    * come back as the empty string, not vanish; a NULL text passes
+    * through as NULL on both sides (no windows to mine, nothing to cut
+    * — '' would misreport "everything was duplicated").
     */
   private def q50(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
@@ -1550,7 +1552,9 @@ object Queries {
       |      AND wd.widx < s.span_start + s.span_words)),
       |rebuilt AS (SELECT doc_id, string_agg(word, ' ' ORDER BY widx) AS t
       |  FROM kept GROUP BY doc_id)
-      |SELECT d.doc_id AS id, coalesce(r.t, '') AS text_cut
+      |SELECT d.doc_id AS id,
+      |  CASE WHEN d.text IS NULL THEN NULL
+      |       ELSE coalesce(r.t, '') END AS text_cut
       |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
       |ORDER BY id""".stripMargin
 

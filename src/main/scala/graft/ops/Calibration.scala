@@ -25,7 +25,15 @@ import org.apache.spark.sql.functions._
   * the score domain is bounded.
   *
   * Threshold semantics: the smallest score whose cumulative count
-  * reaches `ceil(p * n_group)`; kept = `score >= threshold`. Ties at
+  * reaches `ceil(p * n_group)`, with the product evaluated in IEEE
+  * double arithmetic — deterministic and identical across engines
+  * (multiplication is correctly rounded in both the JVM and DuckDB, the
+  * q43/q44 cross-engine recipe), but for a p whose double
+  * representation exceeds its rational value (e.g. 0.07 * 100 =
+  * 7.000000000000001) the rank lands one above the rational ceil and
+  * one extra score class trims. Callers needing the rational boundary
+  * exactly should pick p values with exact binary representations
+  * (multiples of 1/2^k). Kept = `score >= threshold`; ties at
   * the threshold are kept (trimming never splits a score class), so
   * the kept fraction can exceed 1 - p. `p = 0` keeps everything.
   * NULL scores and NULL groups are dropped: an unmeasurable document

@@ -79,7 +79,9 @@ object Pipeline {
         * dropped via [[Calibration.filterCalibrated]] before dedup — the
         * per-source refinement of the global `rules.minChars` floor.
         * Eval sources are never calibrated (thinning the eval set would
-        * weaken decontamination). Funnel note: the drop surfaces between
+        * weaken decontamination). NULL-source train rows drop at this
+        * stage (the [[Calibration]] contract: no group, no budget to
+        * calibrate against). Funnel note: the drop surfaces between
         * the `scrubbed` and `exact_dedup` stages.
         */
       calibrateTrim: Option[Double] = None)
@@ -292,8 +294,12 @@ object Pipeline {
     import spark.implicits._
     val grid = res.scrubbed.select(col("source")).distinct()
       .crossJoin(stages.map(s => (s._1, s._2)).toDF("stage_idx", "stage"))
-    grid.join(counts, Seq("source", "stage_idx", "stage"), "left")
-      .select(col("source"), col("stage_idx"), col("stage"),
-        coalesce(col("__n"), lit(0L)).as("n_docs"))
+    // null-safe on source: a NULL-source row group must match its own
+    // grid row, not read 0 at every stage (EqualTo never matches NULL)
+    grid.as("g").join(counts.as("c"),
+        col("g.source") <=> col("c.source") &&
+          col("g.stage_idx") === col("c.stage_idx"), "left")
+      .select(col("g.source"), col("g.stage_idx"), col("g.stage"),
+        coalesce(col("c.__n"), lit(0L)).as("n_docs"))
   }
 }

@@ -134,13 +134,17 @@ class DupSpansSpec extends AnyFunSuite {
     // whole-doc duplicate) must come back as "", not vanish from the
     // corpus — downstream joins key on id and must still see the row
     val long = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
-    val docs = Seq(1L -> long, 2L -> long, 3L -> "all fresh words here")
+    val docs = Seq(1L -> long, 2L -> long, 3L -> "all fresh words here",
+        4L -> null.asInstanceOf[String])
       .toDF("doc_id", "text")
     val cut = DupSpans.cutSpans(docs, "text", "doc_id",
         DupSpans.dupSpansKeepFirst(docs, "text", "doc_id", windowWords = 4))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_cut"))
       .toMap
-    assert(cut == Map(1L -> long, 2L -> "", 3L -> "all fresh words here"))
+    // NULL text passes through as NULL — no windows to mine, nothing to
+    // cut; '' would misreport "everything was duplicated" (q50 contract)
+    assert(cut == Map(1L -> long, 2L -> "", 3L -> "all fresh words here",
+      4L -> null))
   }
 
   test("boilerplate inventory: df/n_docs split, text reconstruction, fallback windows") {

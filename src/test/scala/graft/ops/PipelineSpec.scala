@@ -85,6 +85,26 @@ class PipelineSpec extends AnyFunSuite {
       "miner signature table still cached after Result.unpersist()"))
   }
 
+  test("funnel reports NULL-source rows with real counts, not zeros") {
+    // the grid join must be null-safe: an EqualTo join would give the
+    // NULL source a grid row whose counts never match -> 0 everywhere
+    val df = Seq(
+      (1L, "some perfectly adequate document text right here okay", "src"),
+      (2L, "another quite adequate document with different words entirely",
+        null.asInstanceOf[String])
+    ).toDF("doc_id", "text", "source")
+    val res = Pipeline.run(df,
+      Pipeline.Config(rules = QualityFilter.Rules(minChars = 5)))
+    val f = Pipeline.sourceFunnel(res).collect()
+      .map(r => (Option(r.getString(0)), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(f.keySet.map(_._1) == Set(Some("src"), None))
+    (1 to 5).foreach { i =>
+      assert(f((None, i)) == 1L, s"NULL source must count 1 at stage $i")
+      assert(f((Some("src"), i)) == 1L)
+    }
+    res.unpersist()
+  }
+
   test("calibrateTrim knob: each train source drops its bottom fraction, eval is never calibrated") {
     val alpha = "abcdefghij"
     // doc i: i+1 distinct letter-words -> strictly increasing lengths,
