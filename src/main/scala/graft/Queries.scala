@@ -1617,6 +1617,56 @@ object Queries {
       |  CAST(n - cum + c AS BIGINT) AS n_kept
       |FROM thr WHERE rn = 1 ORDER BY source""".stripMargin
 
+  /** Exact Kolmogorov-Smirnov drift over binned lengths (q10's PSI
+    * companion, [[graft.stats.Drift.ksCounts]] semantics distributed):
+    * max |CDF_en - CDF_fr| over the shared 13-bin grid. Deterministic —
+    * unlike the validator's sketch-based KS readout (which is only
+    * verdict-gradeable), the exact binned statistic hash-grades. The
+    * cumulative window runs over the BINS frame (13 rows), never the
+    * corpus.
+    */
+  private def q53(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    def binned(lang: String, cn: String) = docs
+      .filter(col("lang") === lang)
+      .groupBy(least(floor(col("n_chars") / 50), lit(12L)).as("bin"))
+      .agg(count(lit(1)).as(cn))
+    val joined = spark.range(0, 13).select(col("id").as("bin"))
+      .join(binned("en", "cnt_a"), Seq("bin"), "left")
+      .join(binned("fr", "cnt_b"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+    joined
+      .withColumn("ca", sum(col("cnt_a")).over(w))
+      .withColumn("cb", sum(col("cnt_b")).over(w))
+      .crossJoin(joined.agg(sum("cnt_a").as("tot_a"),
+        sum("cnt_b").as("tot_b")))
+      // greatest(tot, 1): an absent side has all-zero counts, so the
+      // statistic reads 0 (ksCounts' empty contract) instead of an ANSI
+      // divide-by-zero
+      .agg(round(max(abs(col("ca") / greatest(col("tot_a"), lit(1L)) -
+        col("cb") / greatest(col("tot_b"), lit(1L)))), 6).as("ks"))
+  }
+
+  private val q53Sql =
+    """WITH bins AS (SELECT unnest(generate_series(0, 12)) AS bin),
+      |a AS (SELECT least(CAST(floor(n_chars / 50) AS BIGINT), 12) AS bin, count(*) AS cnt
+      |      FROM documents WHERE lang = 'en' GROUP BY 1),
+      |b AS (SELECT least(CAST(floor(n_chars / 50) AS BIGINT), 12) AS bin, count(*) AS cnt
+      |      FROM documents WHERE lang = 'fr' GROUP BY 1),
+      |j AS (SELECT bins.bin, coalesce(a.cnt, 0) AS cnt_a, coalesce(b.cnt, 0) AS cnt_b
+      |      FROM bins LEFT JOIN a ON bins.bin = a.bin LEFT JOIN b ON bins.bin = b.bin),
+      |c AS (SELECT bin,
+      |        sum(cnt_a) OVER (ORDER BY bin) AS ca,
+      |        sum(cnt_b) OVER (ORDER BY bin) AS cb
+      |      FROM j),
+      |t AS (SELECT sum(cnt_a) AS tot_a, sum(cnt_b) AS tot_b FROM j)
+      |SELECT round(max(abs(ca * 1.0 / greatest(tot_a, 1) -
+      |                     cb * 1.0 / greatest(tot_b, 1))), 6) AS ks
+      |FROM c, t""".stripMargin
+
   // ----------------------------------------------------------------- table
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -1671,6 +1721,7 @@ object Queries {
     "q49_corpus_diff"      -> QueryDef(q49, Some(q49Sql)),
     "q50_dedup_cut"        -> QueryDef(q50, Some(q50Sql)),
     "q51_boilerplate"      -> QueryDef(q51, Some(q51Sql)),
-    "q52_calibration"      -> QueryDef(q52, Some(q52Sql))
+    "q52_calibration"      -> QueryDef(q52, Some(q52Sql)),
+    "q53_drift_ks"         -> QueryDef(q53, Some(q53Sql))
   )
 }

@@ -52,6 +52,32 @@ object Drift {
     s
   }
 
+  /** Kolmogorov-Smirnov statistic over two aligned count histograms —
+    * the exact categorical twin of [[psiCounts]] (and of the
+    * sketch-based [[ks]]): max |CDF_a - CDF_b| over the shared bin
+    * grid. Deterministic (no sketch randomization), so it can be graded
+    * exactly; the distributed shape is q53's bins-sized cumulative
+    * window. Empty histograms -> 0.
+    */
+  def ksCounts(reference: Array[Long], observed: Array[Long]): Double = {
+    require(reference.length == observed.length)
+    val rn = reference.sum.toDouble
+    val on = observed.sum.toDouble
+    if (rn == 0 || on == 0) return 0.0
+    var best = 0.0
+    var ca = 0L
+    var cb = 0L
+    var i = 0
+    while (i < reference.length) {
+      ca += reference(i)
+      cb += observed(i)
+      val d = math.abs(ca / rn - cb / on)
+      if (d > best) best = d
+      i += 1
+    }
+    best
+  }
+
   /** Kolmogorov-Smirnov statistic: max |CDF_a - CDF_b| probed at both
     * sketches' quantile grids.
     */

@@ -41,6 +41,14 @@ class SketchSpec extends AnyFunSuite {
     assert(Drift.psiCounts(expected, expected) == 0.0)
     val concentrated = new Array[Long](bins); concentrated(bins - 1) = 2500
     assert(Drift.psiCounts(expected, concentrated) > 1.0)
+    // ksCounts (exact categorical KS, q53's semantics): self is 0,
+    // disjoint mass is 1, hand-checked mid case, empty side is 0
+    assert(Drift.ksCounts(expected, expected) == 0.0)
+    val early = new Array[Long](bins); early(0) = 2500
+    assert(Drift.ksCounts(early, concentrated) == 1.0)
+    // a = [3,1], b = [1,3]: CDFs .75/.25 then 1/1 -> ks = 0.5
+    assert(Drift.ksCounts(Array(3L, 1L), Array(1L, 3L)) == 0.5)
+    assert(Drift.ksCounts(new Array[Long](bins), concentrated) == 0.0)
   }
 
   test("KLL partial sketches merge to the same answer as one global sketch (monoid)") {
