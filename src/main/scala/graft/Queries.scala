@@ -1623,7 +1623,8 @@ object Queries {
     * unlike the validator's sketch-based KS readout (which is only
     * verdict-gradeable), the exact binned statistic hash-grades. The
     * cumulative window runs over the BINS frame (13 rows), never the
-    * corpus.
+    * corpus. An EMPTY side (either one) reads 0, matching
+    * [[graft.stats.Drift.ksCounts]]'s contract exactly.
     */
   private def q53(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
@@ -1643,11 +1644,16 @@ object Queries {
       .withColumn("cb", sum(col("cnt_b")).over(w))
       .crossJoin(joined.agg(sum("cnt_a").as("tot_a"),
         sum("cnt_b").as("tot_b")))
-      // greatest(tot, 1): an absent side has all-zero counts, so the
-      // statistic reads 0 (ksCounts' empty contract) instead of an ANSI
-      // divide-by-zero
-      .agg(round(max(abs(col("ca") / greatest(col("tot_a"), lit(1L)) -
-        col("cb") / greatest(col("tot_b"), lit(1L)))), 6).as("ks"))
+      // an EMPTY side reads 0 — ksCounts' contract: drift against
+      // nothing is unmeasurable, and without the guard the empty side's
+      // flat-zero CDF would read ks = 1.0. The CASE also short-circuits
+      // the 0-denominator double division, whose hazard here is NaN
+      // ranking greatest inside max(), not an ANSI throw (long/long
+      // promotes to double division)
+      .agg(round(max(when(col("tot_a") === 0 || col("tot_b") === 0,
+          lit(0.0))
+        .otherwise(abs(col("ca") / col("tot_a") -
+          col("cb") / col("tot_b")))), 6).as("ks"))
   }
 
   private val q53Sql =
@@ -1663,8 +1669,8 @@ object Queries {
       |        sum(cnt_b) OVER (ORDER BY bin) AS cb
       |      FROM j),
       |t AS (SELECT sum(cnt_a) AS tot_a, sum(cnt_b) AS tot_b FROM j)
-      |SELECT round(max(abs(ca * 1.0 / greatest(tot_a, 1) -
-      |                     cb * 1.0 / greatest(tot_b, 1))), 6) AS ks
+      |SELECT round(max(CASE WHEN tot_a = 0 OR tot_b = 0 THEN 0.0
+      |    ELSE abs(ca * 1.0 / tot_a - cb * 1.0 / tot_b) END), 6) AS ks
       |FROM c, t""".stripMargin
 
   // ----------------------------------------------------------------- table
