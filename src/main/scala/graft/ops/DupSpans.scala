@@ -150,8 +150,10 @@ object DupSpans {
     * per-partition partials); the reconstruction join touches only the
     * hot sliver (rows ~ boilerplate inventory size, AQE-broadcast
     * against the corpus scan), and the slice is computed map-side —
-    * text enters no exchange. Short-doc fallback windows (< L words)
-    * reconstruct as the whole text, mirroring what they hash.
+    * text meets an exchange only if a pathological corpus (most windows
+    * >= minDf) defeats the broadcast, and then it ships once. Short-doc
+    * fallback windows (< L words) reconstruct as the whole text,
+    * mirroring what they hash.
     */
   def boilerplate(df: DataFrame, textCol: String, idCol: String,
                   windowWords: Int = 8, minDf: Long = 3L): DataFrame = {
