@@ -191,6 +191,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("calibration: histogram partial-aggregates map-side; no exchange carries corpus rows") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(graft.ops.Calibration.thresholdReport(
+      docs, "source", "n_chars", 0.1))
+    // the ONLY corpus-sized step is the (group, score) groupBy, and it
+    // must collapse map-side before its exchange
+    assert(p.contains("partial_count") ||
+      "HashAggregate.*partial".r.findFirstIn(p).isDefined,
+      s"histogram groupBy must partial-aggregate:\n$p")
+    // every exchange (incl. the window inputs) ships histogram rows:
+    // never a document id or text — the per-row rank-window shape would
+    assert(exchangeOutputs(graft.ops.Calibration.thresholdReport(
+        docs, "source", "n_chars", 0.1)).nonEmpty)
+    exchangeOutputs(graft.ops.Calibration.thresholdReport(
+        docs, "source", "n_chars", 0.1)).foreach { cols =>
+      assert(!cols.contains("doc_id") && !cols.contains("text"),
+        s"an exchange carries corpus rows: $cols")
+    }
+  }
+
   test("brute-force top-k plans as TakeOrderedAndProject (no global sort)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val p = plan(graft.ops.Similarity.bruteTopK(
