@@ -1673,6 +1673,34 @@ object Queries {
       |    ELSE abs(ca * 1.0 / tot_a - cb * 1.0 / tot_b) END), 6) AS ks
       |FROM c, t""".stripMargin
 
+  /** Sliding-window chunking ([[graft.ops.Chunking]]): documents split
+    * into 32-word context chunks at stride 24 with a right-aligned
+    * final chunk (full-width convention — no orphaned sliver the
+    * previous chunk already contains). The whole rewritten chunk set is
+    * graded; integer start arithmetic reproduces bit-for-bit in DuckDB.
+    */
+  private def q54(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Chunking.chunk(tbl(spark, dir, "documents"),
+        "text", "doc_id", chunkWords = 32, strideWords = 24)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val q54Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents WHERE text IS NOT NULL),
+      |k AS (SELECT doc_id, w, n,
+      |    unnest(generate_series(0,
+      |      greatest(0, CAST(floor((n - 32 + 24 - 1) * 1.0 / 24) AS BIGINT))))
+      |      AS chunk_idx
+      |  FROM d),
+      |c AS (SELECT doc_id, chunk_idx,
+      |    greatest(0, least(chunk_idx * 24, n - 32)) AS s, n, w
+      |  FROM k)
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |  CAST(least(32, n - s) AS BIGINT) AS n_chunk_words,
+      |  array_to_string(w[s + 1 : s + 32], ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ----------------------------------------------------------------- table
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -1728,6 +1756,7 @@ object Queries {
     "q50_dedup_cut"        -> QueryDef(q50, Some(q50Sql)),
     "q51_boilerplate"      -> QueryDef(q51, Some(q51Sql)),
     "q52_calibration"      -> QueryDef(q52, Some(q52Sql)),
-    "q53_drift_ks"         -> QueryDef(q53, Some(q53Sql))
+    "q53_drift_ks"         -> QueryDef(q53, Some(q53Sql)),
+    "q54_chunking"         -> QueryDef(q54, Some(q54Sql))
   )
 }
