@@ -47,10 +47,11 @@ object Chunking {
       floor((n - chunkWords + strideWords - 1) / strideWords).cast("long"))
     df.filter(col(textCol).isNotNull)
       .select(col(idCol), words.as("__w"), n.as("__n"),
-        posexplode(sequence(lit(0L), kMax)).as(Seq("chunk_idx", "__k")))
+        // sequence(0, kMax) step 1: the element IS the chunk index
+        explode(sequence(lit(0L), kMax)).as("chunk_idx"))
       .withColumn("__start", greatest(lit(0L),
-        least(col("__k") * strideWords, col("__n") - chunkWords)))
-      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        least(col("chunk_idx") * strideWords, col("__n") - chunkWords)))
+      .select(col(idCol), col("chunk_idx"),
         least(lit(chunkWords.toLong), col("__n") - col("__start"))
           .as("n_chunk_words"),
         array_join(slice(col("__w"), (col("__start") + 1).cast("int"),

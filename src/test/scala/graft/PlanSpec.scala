@@ -202,10 +202,10 @@ class PlanSpec extends AnyFunSuite {
       s"histogram groupBy must partial-aggregate:\n$p")
     // every exchange (incl. the window inputs) ships histogram rows:
     // never a document id or text — the per-row rank-window shape would
-    assert(exchangeOutputs(graft.ops.Calibration.thresholdReport(
-        docs, "source", "n_chars", 0.1)).nonEmpty)
-    exchangeOutputs(graft.ops.Calibration.thresholdReport(
-        docs, "source", "n_chars", 0.1)).foreach { cols =>
+    val outs = exchangeOutputs(graft.ops.Calibration.thresholdReport(
+      docs, "source", "n_chars", 0.1))
+    assert(outs.nonEmpty)
+    outs.foreach { cols =>
       assert(!cols.contains("doc_id") && !cols.contains("text"),
         s"an exchange carries corpus rows: $cols")
     }
