@@ -55,7 +55,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: Main (synth|validate|throughput|infer|stream|pipeline|cut-spans|diff|boilerplate|dedup-stream|pipeline-stream) [--k v]...")
+      "usage: Main (synth|validate|throughput|infer|stream|pipeline|cut-spans|chunk|diff|boilerplate|dedup-stream|pipeline-stream) [--k v]...")
     val cmd = args.head
     val opts = argMap(args.tail)
     val spark = session(s"graft-$cmd")
@@ -228,6 +228,25 @@ object Main {
         val m = obs.get
         println(s"Cut duplicated spans (window=$window): ${m("n")} docs, " +
           s"${m("before")} -> ${m("after")} chars at $out")
+
+      case "chunk" =>
+        // sliding-window chunking (graft.ops.Chunking): split long
+        // documents into overlapping --chunk-words context chunks at
+        // --stride-words; writes the chunk table (compose with
+        // `pipeline` by feeding the chunks back in as documents)
+        val input = opts("input")
+        val out = flagOr(opts, "out", s"$input-chunks")
+        val cw = flagOr(opts, "chunk-words", "512").toInt
+        val sw = flagOr(opts, "stride-words", "384").toInt
+        val obs = org.apache.spark.sql.Observation("chunk")
+        graft.ops.Chunking.chunk(spark.read.parquet(input),
+            "text", "doc_id", cw, sw)
+          .observe(obs, count(lit(1)).as("n_chunks"),
+            approx_count_distinct(col("doc_id")).as("n_docs"))
+          .write.mode("overwrite").parquet(out)
+        val m = obs.get
+        println(s"Chunked ~${m("n_docs")} docs into ${m("n_chunks")} " +
+          s"chunks (chunk=$cw stride=$sw words) at $out")
 
       case "diff" =>
         // corpus snapshot diff (graft.ops.CorpusDiff): added / removed /
