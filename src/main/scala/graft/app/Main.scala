@@ -55,7 +55,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: Main (synth|validate|throughput|infer|stream|pipeline|cut-spans|chunk|diff|boilerplate|dedup-stream|pipeline-stream) [--k v]...")
+      "usage: Main (synth|validate|state-audit|throughput|infer|stream|pipeline|cut-spans|chunk|diff|boilerplate|dedup-stream|pipeline-stream) [--k v]...")
     val cmd = args.head
     val opts = argMap(args.tail)
     val spark = session(s"graft-$cmd")
@@ -228,6 +228,33 @@ object Main {
         val m = obs.get
         println(s"Cut duplicated spans (window=$window): ${m("n")} docs, " +
           s"${m("before")} -> ${m("after")} chars at $out")
+
+      case "state-audit" =>
+        // lineage audit of a validation state dir vs its input: per
+        // partition, is the checkpoint CURRENT (fingerprint matches —
+        // a rerun skips it), CHANGED (input files moved under it), or
+        // NEW (never validated)? Plus manifests whose partition left
+        // the input (ORPHANED). Read-only; run it before `validate` to
+        // see what a rerun will actually do.
+        val input = opts("input")
+        val statePath = flagOr(opts, "state", s"$input-state")
+        val inputs = graft.lineage.Checkpoint.inputPartitions(spark, input)
+        inputs.sortBy(_.source).foreach { pl =>
+          graft.lineage.Checkpoint
+            .readManifestInfo(spark, statePath, pl.source) match {
+            case Some((fp, n)) if fp == pl.fingerprint =>
+              println(f"  state ${pl.source}%-12s current  n_rows=$n%d")
+            case Some((_, n)) =>
+              println(f"  state ${pl.source}%-12s CHANGED  " +
+                f"(was n_rows=$n%d; revalidation needed)")
+            case None =>
+              println(f"  state ${pl.source}%-12s NEW      (never validated)")
+          }
+        }
+        val live = inputs.map(_.source).toSet
+        graft.lineage.Checkpoint.manifestSources(spark, statePath)
+          .filterNot(live).sorted
+          .foreach(s => println(f"  state $s%-12s ORPHANED (partition left the input)"))
 
       case "chunk" =>
         // sliding-window chunking (graft.ops.Chunking): split long

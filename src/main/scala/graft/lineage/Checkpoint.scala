@@ -66,6 +66,41 @@ object Checkpoint {
     }
   }
 
+  /** The manifest's (fingerprint, n_rows) — the audit-surface reader;
+    * [[readManifest]] stays the fingerprint-only fast path [[plan]]
+    * uses.
+    */
+  def readManifestInfo(spark: SparkSession, statePath: String,
+                       source: String): Option[(String, Long)] = {
+    val p = manifestPath(statePath, source)
+    val system = fs(spark, statePath)
+    if (!system.exists(p)) None
+    else {
+      val in = system.open(p)
+      try {
+        val body = new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        for {
+          fp <- "\"fingerprint\"\\s*:\\s*\"([0-9a-f]+)\"".r
+            .findFirstMatchIn(body).map(_.group(1))
+          n <- "\"n_rows\"\\s*:\\s*(\\d+)".r
+            .findFirstMatchIn(body).map(_.group(1).toLong)
+        } yield (fp, n)
+      } finally in.close()
+    }
+  }
+
+  /** Manifest sources present in the state dir (for orphan detection —
+    * a manifest whose partition left the input).
+    */
+  def manifestSources(spark: SparkSession, statePath: String): Seq[String] = {
+    val dir = new Path(s"$statePath/manifests")
+    val system = fs(spark, statePath)
+    if (!system.exists(dir)) Nil
+    else system.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+      .map(_.getPath.getName.stripSuffix(".json"))
+  }
+
   def writeManifest(spark: SparkSession, statePath: String,
                     lineage: PartitionLineage, nRows: Long): Unit = {
     val p = manifestPath(statePath, lineage.source)

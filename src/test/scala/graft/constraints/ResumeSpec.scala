@@ -81,4 +81,40 @@ class ResumeSpec extends AnyFunSuite {
     assert(resumed.validatedSources == Seq("books"))
     assert(resumed.skippedSources.toSet == Set("web", "code", "chat", "ghost"))
   }
+
+  test("state audit readers: manifest info, current/changed split, orphans") {
+    val dir = java.nio.file.Files.createTempDirectory("resume4").toString
+    val (inPath, statePath) = (s"$dir/seqs", s"$dir/state")
+    SequenceSynth.write(spark, cfg, inPath, buckets = 4)
+    val dim = SequenceSynth.sourcesDim(spark, cfg)
+    ResumableValidator.run(spark, inPath, dim, suite, statePath)
+
+    // every input partition's manifest parses with its row count
+    val inputs = Checkpoint.inputPartitions(spark, inPath)
+    inputs.foreach { pl =>
+      val info = Checkpoint.readManifestInfo(spark, statePath, pl.source)
+      assert(info.exists(_._1 == pl.fingerprint), pl.source)
+      assert(info.exists(_._2 > 0L), s"${pl.source} n_rows")
+    }
+    assert(Checkpoint.manifestSources(spark, statePath).toSet ==
+      inputs.map(_.source).toSet)
+
+    // a touched partition reads CHANGED (fingerprint mismatch), a
+    // removed one leaves its manifest ORPHANED
+    val f = new java.io.File(s"$inPath/source=books").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    f.setLastModified(f.lastModified() + 60000)
+    val booksNow = Checkpoint.inputPartitions(spark, inPath)
+      .find(_.source == "books").get
+    assert(!Checkpoint.readManifestInfo(spark, statePath, "books")
+      .exists(_._1 == booksNow.fingerprint))
+
+    def rmAll(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmAll); p.delete()
+    }
+    rmAll(new java.io.File(s"$inPath/source=ghost"))
+    val live = Checkpoint.inputPartitions(spark, inPath).map(_.source).toSet
+    assert(!live("ghost"))
+    assert(Checkpoint.manifestSources(spark, statePath).contains("ghost"))
+  }
 }
