@@ -53,9 +53,14 @@ object Main {
                      default: String): String =
     opts.get(key).filter(_.nonEmpty).getOrElse(default)
 
+  // ONE list both error paths share — the unknown-command message had
+  // drifted five subcommands behind the usage banner
+  private val commands = "synth|validate|state-audit|throughput|infer|" +
+    "stream|pipeline|cut-spans|chunk|diff|boilerplate|dedup-stream|" +
+    "pipeline-stream"
+
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty,
-      "usage: Main (synth|validate|state-audit|throughput|infer|stream|pipeline|cut-spans|chunk|diff|boilerplate|dedup-stream|pipeline-stream) [--k v]...")
+    require(args.nonEmpty, s"usage: Main ($commands) [--k v]...")
     val cmd = args.head
     val opts = argMap(args.tail)
     val spark = session(s"graft-$cmd")
@@ -237,23 +242,38 @@ object Main {
         // the input (ORPHANED). Read-only; run it before `validate` to
         // see what a rerun will actually do.
         val input = opts("input")
-        val statePath = flagOr(opts, "state", s"$input-state")
+        val statePath = opts("state") // no default: validate has none,
+        // and guessing a path would confidently print all-NEW for a
+        // state that lives elsewhere
+        // a missing input or state dir must ERROR, not render as
+        // all-ORPHANED / all-NEW — this audit decides cleanups
+        require(new java.io.File(input).exists() ||
+          input.contains("://"), s"input path does not exist: $input")
+        val manifests = graft.lineage.Checkpoint
+          .manifestSources(spark, statePath)
+        require(manifests.nonEmpty,
+          s"no manifests under $statePath/manifests: wrong --state, " +
+            "or validate has not run yet")
         val inputs = graft.lineage.Checkpoint.inputPartitions(spark, input)
         inputs.sortBy(_.source).foreach { pl =>
           graft.lineage.Checkpoint
             .readManifestInfo(spark, statePath, pl.source) match {
-            case Some((fp, n)) if fp == pl.fingerprint =>
-              println(f"  state ${pl.source}%-12s current  n_rows=$n%d")
-            case Some((_, n)) =>
+            case Some((Some(fp), n)) if fp == pl.fingerprint =>
+              println(f"  state ${pl.source}%-12s current  " +
+                s"n_rows=${n.map(_.toString).getOrElse("?")}")
+            case Some((Some(_), n)) =>
               println(f"  state ${pl.source}%-12s CHANGED  " +
-                f"(was n_rows=$n%d; revalidation needed)")
+                s"(was n_rows=${n.map(_.toString).getOrElse("?")}; " +
+                "revalidation needed)")
+            case Some((None, _)) =>
+              println(f"  state ${pl.source}%-12s UNPARSEABLE manifest " +
+                "(no fingerprint; a rerun revalidates)")
             case None =>
               println(f"  state ${pl.source}%-12s NEW      (never validated)")
           }
         }
         val live = inputs.map(_.source).toSet
-        graft.lineage.Checkpoint.manifestSources(spark, statePath)
-          .filterNot(live).sorted
+        manifests.filterNot(live).sorted
           .foreach(s => println(f"  state $s%-12s ORPHANED (partition left the input)"))
 
       case "chunk" =>
@@ -264,7 +284,10 @@ object Main {
         val input = opts("input")
         val out = flagOr(opts, "out", s"$input-chunks")
         val cw = flagOr(opts, "chunk-words", "512").toInt
-        val sw = flagOr(opts, "stride-words", "384").toInt
+        // default stride scales with the requested width (3/4 overlap
+        // convention) — a fixed 384 would be refused for cw < 384
+        val sw = flagOr(opts, "stride-words",
+          math.max(1, cw * 3 / 4).toString).toInt
         val obs = org.apache.spark.sql.Observation("chunk")
         graft.ops.Chunking.chunk(spark.read.parquet(input),
             "text", "doc_id", cw, sw)
@@ -370,7 +393,7 @@ object Main {
             s"(state at $statePath)")
         }
 
-      case other => sys.error(s"unknown command '$other' (want synth|validate|throughput|infer|stream|pipeline|dedup-stream|pipeline-stream)")
+      case other => sys.error(s"unknown command '$other' (want $commands)")
     } finally spark.stop()
   }
 }

@@ -52,7 +52,12 @@ object Checkpoint {
   private def manifestPath(statePath: String, source: String): Path =
     new Path(s"$statePath/manifests/$source.json")
 
-  def readManifest(spark: SparkSession, statePath: String, source: String): Option[String] = {
+  /** ONE manifest parse site: (fingerprint?, n_rows?) from the manifest
+    * body, None when no manifest exists. Every reader derives from this
+    * so the audit can never be stricter than the rerun planner.
+    */
+  private def readManifestFields(spark: SparkSession, statePath: String,
+      source: String): Option[(Option[String], Option[Long])] = {
     val p = manifestPath(statePath, source)
     val system = fs(spark, statePath)
     if (!system.exists(p)) None
@@ -60,34 +65,29 @@ object Checkpoint {
       val in = system.open(p)
       try {
         val body = new String(in.readAllBytes(), StandardCharsets.UTF_8)
-        "\"fingerprint\"\\s*:\\s*\"([0-9a-f]+)\"".r
-          .findFirstMatchIn(body).map(_.group(1))
+        Some((
+          "\"fingerprint\"\\s*:\\s*\"([0-9a-f]+)\"".r
+            .findFirstMatchIn(body).map(_.group(1)),
+          "\"n_rows\"\\s*:\\s*(\\d+)".r
+            .findFirstMatchIn(body).map(_.group(1).toLong)))
       } finally in.close()
     }
   }
 
-  /** The manifest's (fingerprint, n_rows) — the audit-surface reader;
-    * [[readManifest]] stays the fingerprint-only fast path [[plan]]
-    * uses.
+  /** The checkpointed fingerprint — what [[plan]] (and thus a rerun)
+    * matches on.
+    */
+  def readManifest(spark: SparkSession, statePath: String, source: String): Option[String] =
+    readManifestFields(spark, statePath, source).flatMap(_._1)
+
+  /** The audit-surface reader: present manifest -> (fingerprint?,
+    * n_rows?). n_rows is OPTIONAL on purpose — a manifest whose
+    * fingerprint parses but whose row count is garbled still skips on a
+    * rerun, and the audit must report what the rerun will do.
     */
   def readManifestInfo(spark: SparkSession, statePath: String,
-                       source: String): Option[(String, Long)] = {
-    val p = manifestPath(statePath, source)
-    val system = fs(spark, statePath)
-    if (!system.exists(p)) None
-    else {
-      val in = system.open(p)
-      try {
-        val body = new String(in.readAllBytes(), StandardCharsets.UTF_8)
-        for {
-          fp <- "\"fingerprint\"\\s*:\\s*\"([0-9a-f]+)\"".r
-            .findFirstMatchIn(body).map(_.group(1))
-          n <- "\"n_rows\"\\s*:\\s*(\\d+)".r
-            .findFirstMatchIn(body).map(_.group(1).toLong)
-        } yield (fp, n)
-      } finally in.close()
-    }
-  }
+      source: String): Option[(Option[String], Option[Long])] =
+    readManifestFields(spark, statePath, source)
 
   /** Manifest sources present in the state dir (for orphan detection —
     * a manifest whose partition left the input).

@@ -93,8 +93,8 @@ class ResumeSpec extends AnyFunSuite {
     val inputs = Checkpoint.inputPartitions(spark, inPath)
     inputs.foreach { pl =>
       val info = Checkpoint.readManifestInfo(spark, statePath, pl.source)
-      assert(info.exists(_._1 == pl.fingerprint), pl.source)
-      assert(info.exists(_._2 > 0L), s"${pl.source} n_rows")
+      assert(info.exists(_._1.contains(pl.fingerprint)), pl.source)
+      assert(info.exists(_._2.exists(_ > 0L)), s"${pl.source} n_rows")
     }
     assert(Checkpoint.manifestSources(spark, statePath).toSet ==
       inputs.map(_.source).toSet)
@@ -107,7 +107,18 @@ class ResumeSpec extends AnyFunSuite {
     val booksNow = Checkpoint.inputPartitions(spark, inPath)
       .find(_.source == "books").get
     assert(!Checkpoint.readManifestInfo(spark, statePath, "books")
-      .exists(_._1 == booksNow.fingerprint))
+      .exists(_._1.contains(booksNow.fingerprint)))
+    // audit leniency == rerun planner: a garbled n_rows must not demote
+    // a fingerprint-current manifest to NEW (plan() matches on the
+    // fingerprint alone)
+    val webFp = Checkpoint.readManifest(spark, statePath, "web").get
+    val mp = new java.io.File(s"$statePath/manifests/web.json")
+    java.nio.file.Files.writeString(mp.toPath,
+      s"""{"source": "web", "fingerprint": "$webFp", "n_rows": garbled}""")
+    // the raw edit invalidates Hadoop LocalFileSystem's checksum sidecar
+    new java.io.File(s"$statePath/manifests/.web.json.crc").delete()
+    val webInfo = Checkpoint.readManifestInfo(spark, statePath, "web")
+    assert(webInfo.exists(i => i._1.contains(webFp) && i._2.isEmpty))
 
     def rmAll(p: java.io.File): Unit = {
       if (p.isDirectory) p.listFiles().foreach(rmAll); p.delete()
