@@ -246,9 +246,17 @@ object Main {
         // and guessing a path would confidently print all-NEW for a
         // state that lives elsewhere
         // a missing input or state dir must ERROR, not render as
-        // all-ORPHANED / all-NEW — this audit decides cleanups
-        require(new java.io.File(input).exists() ||
-          input.contains("://"), s"input path does not exist: $input")
+        // all-ORPHANED / all-NEW — this audit decides cleanups.
+        // Existence resolves through the Hadoop FileSystem (round-6
+        // ADVICE): java.io.File spuriously rejected glob inputs and
+        // scheme-less non-local paths Checkpoint.inputPartitions reads
+        locally {
+          val p = new org.apache.hadoop.fs.Path(input)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val hits = fs.globStatus(p) // null for a non-glob miss
+          require(hits != null && hits.nonEmpty,
+            s"input path matches nothing: $input")
+        }
         val manifests = graft.lineage.Checkpoint
           .manifestSources(spark, statePath)
         require(manifests.nonEmpty,

@@ -119,7 +119,23 @@ object Pipeline {
     }
   }
 
+  /** The miner's candidate floor: pairs below this estimated Jaccard
+    * never enter the reranked set (the `minJaccard` passed to
+    * [[Dedup.minhashCandidatesH]] below), so no downstream filter can
+    * see them.
+    */
+  val MiningFloor: Double = 0.2
+
   def run(docs: DataFrame, cfg: Config = Config()): Result = {
+    // enforce the documented contract (round-6 ADVICE): a splitJaccard
+    // below the mining floor would silently miss every pair in
+    // [splitJaccard, MiningFloor) and weaken the leak-free guarantee
+    // without any error. Only meaningful when the split knob is on.
+    require(cfg.valPermille.isEmpty || cfg.splitJaccard >= MiningFloor,
+      s"splitJaccard=${cfg.splitJaccard} is below the miner's candidate " +
+        s"floor ($MiningFloor): pairs under the floor are never mined, so " +
+        "the leak-free split could not honor that bar. Raise splitJaccard " +
+        s"to >= $MiningFloor.")
     val nInput = docs.count()
 
     val clean = QualityFilter.filter(docs, "text", cfg.rules)
@@ -152,7 +168,7 @@ object Pipeline {
     // cache away (materialize=false) because the miner gave the caller
     // no release handle
     val mined = Dedup.minhashCandidatesH(exact, "text", "doc_id",
-      bands = 16, minJaccard = 0.2)
+      bands = 16, minJaccard = MiningFloor)
     val reranked = Dedup.ngramJaccardH(exact,
       mined.value.select("id_a", "id_b"), "text", "doc_id")
     val miner = Cached(mined.value,

@@ -186,6 +186,25 @@ object StreamingValidator {
     }
   }
 
+  /** Legacy-state guard (round-6 ADVICE): pre-round-5 stats state used a
+    * mutable CURRENT pointer next to markerless gen dirs. After the
+    * marker-protocol switch that layout silently read as None — the
+    * drift baseline reset and the old gens got pruned as orphans. Fail
+    * loudly instead, mirroring CompactedIndex.rejectLegacyLayout: the
+    * operator migrates by committing the pointed-at generation with the
+    * new marker (touch gen-N/_GRAFT_COMMITTED, delete CURRENT).
+    */
+  private def rejectLegacyStats(fs: org.apache.hadoop.fs.FileSystem,
+                                dir: String): Unit = {
+    val cur = new org.apache.hadoop.fs.Path(dir, "CURRENT")
+    if (fs.exists(cur))
+      sys.error(s"$dir holds a pre-marker-protocol stats state (CURRENT " +
+        "pointer file). Migrate by creating " +
+        s"$dir/gen-<N>/${CompactedIndex.Marker} for the generation CURRENT " +
+        "points at and deleting CURRENT, or rebuild the state — reading " +
+        "it as empty would silently reset the drift baseline.")
+  }
+
   private def writeStats(spark: SparkSession, statePath: String,
                          batchId: Long, stats: Array[Row]): Unit = {
     val df = Validator.statsToDf(spark, stats).withColumn("last_batch_id", lit(batchId))
@@ -197,9 +216,10 @@ object StreamingValidator {
     // CURRENT-pointer flip used truncate-then-write, so a crash mid-flip
     // corrupted the state permanently (round-5 review).
     val gen = s"${statsPath(statePath)}/gen-$batchId"
-    df.coalesce(1).write.mode("overwrite").parquet(gen)
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rejectLegacyStats(fs, statsPath(statePath))
+    df.coalesce(1).write.mode("overwrite").parquet(gen)
     CompactedIndex.commitGen(fs, statsPath(statePath), batchId)
     CompactedIndex.pruneGens(fs, statsPath(statePath), batchId)
   }
@@ -207,6 +227,7 @@ object StreamingValidator {
   def readStats(spark: SparkSession, statePath: String): Option[(Long, Array[Row])] = {
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rejectLegacyStats(fs, statsPath(statePath))
     CompactedIndex.committedGenNumbers(fs, statsPath(statePath)).lastOption.map { n =>
       val df = spark.read.parquet(s"${statsPath(statePath)}/gen-$n")
       val batchId = df.select(col("last_batch_id")).head().getLong(0)

@@ -232,4 +232,16 @@ class PipelineSpec extends AnyFunSuite {
       "shipped stage must count the corpus exactly")
     res4.unpersist()
   }
+
+  test("splitJaccard below the mining floor is refused, not silently weakened") {
+    val docs = Seq((1L, "a b c", "s1")).toDF("doc_id", "text", "source")
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.run(docs, Pipeline.Config(
+        valPermille = Some(100), splitJaccard = Pipeline.MiningFloor / 2))
+    }
+    assert(e.getMessage.contains("candidate"), e.getMessage)
+    // without the split knob the value is unused -> no error (config
+    // defaults elsewhere must not start failing)
+    Pipeline.run(docs, Pipeline.Config(splitJaccard = 0.01)).unpersist()
+  }
 }
