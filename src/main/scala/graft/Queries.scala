@@ -1701,6 +1701,76 @@ object Queries {
       |  array_to_string(w[s + 1 : s + 32], ' ') AS chunk_text
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** BPE subword tokenizer end-to-end ([[graft.ops.Bpe]]): train 24
+    * merges on the corpus word counts, then grade every document's
+    * ENCODED TOKEN-ID SEQUENCE bit-for-bit (the q50 lesson — grade the
+    * transformation, not a report about it). The oracle replays training
+    * exactly: one chained-CTE block per merge round (pair counts over the
+    * distinct-word table -> argmax with the (count DESC, left, right)
+    * tie-break -> left-to-right non-overlapping replace via the
+    * doubled-separator `|l||r|` encoding), then derives ids (sorted base
+    * chars, merge r = nBase + r) and re-segments every document. A pass
+    * certifies the merge table, the apply semantics, and the id
+    * assignment in one grading.
+    */
+  private def q55(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").filter(col("text").isNotNull)
+    val model = graft.ops.Bpe.train(docs, "text", numMerges = Q55Merges)
+    docs.select(col("doc_id"),
+        graft.ops.Bpe.encode(col("text"), model).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        array_join(transform(col("toks"), t => t.cast("string")), "-")
+          .as("tok_ids"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val Q55Merges = 24
+
+  /** Generated chained-CTE training replay: recursive CTEs cannot
+    * aggregate over the recursive reference (each round needs a global
+    * argmax), so the fixed merge count unrolls into `Q55Merges` CTE
+    * blocks instead. `MATERIALIZED` is load-bearing: s{r} is referenced
+    * twice (pair counts and the next round), and inlining would blow up
+    * 2^rounds.
+    */
+  private val q55Sql: String = {
+    val head =
+      """WITH w AS MATERIALIZED (SELECT w AS word, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE text IS NOT NULL)
+        |  WHERE w <> '' GROUP BY 1),
+        |s0 AS MATERIALIZED (SELECT word, c,
+        |    '|' || array_to_string(list_transform(range(1, len(word) + 1), i -> word[i]), '||') || '|' AS seg
+        |  FROM w)""".stripMargin
+    val rounds = (0 until Q55Merges).map { r =>
+      s"""p$r AS (SELECT pr.l AS l, pr.r AS r, sum(c) AS pc FROM (
+         |    SELECT c, unnest(list_transform(range(1, len(sy)), i -> struct_pack(l := sy[i], r := sy[i+1]))) AS pr
+         |    FROM (SELECT c, string_split(substr(seg, 2, len(seg) - 2), '||') AS sy FROM s$r)) GROUP BY 1, 2),
+         |b$r AS (SELECT l, r FROM p$r ORDER BY pc DESC, l, r LIMIT 1),
+         |s${r + 1} AS MATERIALIZED (SELECT word, c, replace(seg, '|' || b.l || '||' || b.r || '|', '|' || b.l || b.r || '|') AS seg FROM s$r, b$r b)""".stripMargin
+    }
+    val mergeUnion = (0 until Q55Merges)
+      .map(r => s"SELECT $r AS rank, l, r FROM b$r").mkString(" UNION ALL ")
+    val tail =
+      s"""mg AS ($mergeUnion),
+         |base AS (SELECT DISTINCT unnest(list_transform(range(1, len(word) + 1), i -> word[i])) AS sym FROM w),
+         |basev AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS INT) AS id FROM base),
+         |vocab AS (SELECT sym, min(id) AS id FROM (
+         |    SELECT sym, id FROM basev
+         |    UNION ALL SELECT l || r AS sym, CAST((SELECT count(*) FROM basev) + rank AS INT) AS id FROM mg)
+         |  GROUP BY 1),
+         |docw AS (SELECT doc_id, generate_subscripts(ws, 1) AS wpos, unnest(ws) AS word FROM (
+         |    SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE text IS NOT NULL)),
+         |sub AS (SELECT doc_id, wpos, generate_subscripts(sy, 1) AS spos, unnest(sy) AS sym FROM (
+         |    SELECT d.doc_id, d.wpos, string_split(substr(s.seg, 2, len(s.seg) - 2), '||') AS sy
+         |    FROM docw d JOIN s$Q55Merges s ON d.word = s.word)),
+         |tok AS (SELECT doc_id, wpos, spos, v.id FROM sub JOIN vocab v USING (sym))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |  string_agg(id, '-' ORDER BY wpos, spos) AS tok_ids
+         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    (head +: rounds :+ tail).mkString(",\n")
+  }
+
   // ----------------------------------------------------------------- table
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -1757,6 +1827,7 @@ object Queries {
     "q51_boilerplate"      -> QueryDef(q51, Some(q51Sql)),
     "q52_calibration"      -> QueryDef(q52, Some(q52Sql)),
     "q53_drift_ks"         -> QueryDef(q53, Some(q53Sql)),
-    "q54_chunking"         -> QueryDef(q54, Some(q54Sql))
+    "q54_chunking"         -> QueryDef(q54, Some(q54Sql)),
+    "q55_bpe_tokenizer"    -> QueryDef(q55, Some(q55Sql))
   )
 }

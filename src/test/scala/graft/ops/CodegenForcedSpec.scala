@@ -31,11 +31,15 @@ class CodegenForcedSpec extends AnyFunSuite {
     (3L, Array(-1.0f, -2.0f, -3.0f, -4.0f), Array(1.0f, 2.0f, 3.0f, 4.0f)))
     .toDF("id", "va", "vb")
 
+  private lazy val bpeModel = Bpe.trainFromCounts(
+    Seq(("hello", 3L), ("world", 2L), ("foo", 2L), ("bar", 1L)), 5)
+
   /** Every codegen'd native expression in one projection per table. */
   private def nativeProjections(): Seq[Seq[org.apache.spark.sql.Row]] = {
     val spans = expr(
       "array(named_struct('span_start', 1L, 'span_words', 2L))")
     val d = docsDf.select(
+      Bpe.encode(col("text"), bpeModel).as("bpe"),
       TextOps.charClassCounts(col("text")).as("census"),
       ColumnsForTest.cutSpans(col("text"), spans).as("cut"),
       ShingleHashes.shingle_hashes(col("text"), 3).as("sh"),
