@@ -979,12 +979,14 @@ object Queries {
       |    text FROM documents),
       |feat AS (
       |  SELECT kind,
-      |    -- image rows go through the REAL javax.imageio decode; text
-      |    -- bytes are never a decodable image, so every image row fails
-      |    -- (ok=false) — absent payloads with n_bytes 0, undecodable
-      |    -- ones with n_bytes = payload length
-      |    absent OR kind = 'image' AS failed,
-      |    CASE WHEN absent OR kind = 'image' THEN NULL ELSE CAST(
+      |    -- image AND audio rows go through the REAL JDK decodes
+      |    -- (javax.imageio / javax.sound.sampled); text bytes are never
+      |    -- a decodable image or a RIFF/FORM/.snd audio container, so
+      |    -- every such row fails (ok=false) — absent payloads with
+      |    -- n_bytes 0, undecodable ones with n_bytes = payload length.
+      |    -- Only video still rides the byte-lane stub.
+      |    absent OR kind = 'image' OR kind = 'audio' AS failed,
+      |    CASE WHEN absent OR kind = 'image' OR kind = 'audio' THEN NULL ELSE CAST(
       |      CAST(list_sum([ord(text[8*j+1])
       |                     for j in range(0, CAST(ceil(length(text) / 8.0) AS BIGINT))]) AS DOUBLE)
       |      / 255.0 / greatest(1, length(text) // 8) AS FLOAT)
@@ -1771,6 +1773,71 @@ object Queries {
     (head +: rounds :+ tail).mkString(",\n")
   }
 
+  /** Real audio decode ([[graft.ops.Multimodal.AudioWavDecoder]] —
+    * `javax.sound.sampled`, in the JDK, no sound device): every document
+    * becomes a synthesized 8-bit PCM WAV whose samples ARE the text
+    * bytes, so DuckDB replays every decoded statistic exactly from the
+    * characters; every 97th payload is absent (n_bytes 0) and every 89th
+    * is the raw text (no RIFF magic -> deterministic decode failure with
+    * n_bytes = payload length) — the two error-channel flavors graded
+    * apart. Sample rate varies by doc (8/12/16 kHz) to grade the
+    * integer-division duration lane.
+    */
+  private def q56(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = tbl(spark, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val media = docs.as[(Long, String)].map { case (id, text) =>
+      val bytes =
+        if (id % 97 == 3) null
+        else if (id % 89 == 7) text.getBytes("UTF-8")
+        else Multimodal.wavFromBytes(text.getBytes("UTF-8"),
+          (8000 + (id % 3) * 4000).toInt)
+      (id, "audio", bytes)
+    }.toDF("media_id", "kind", "bytes")
+    Multimodal.extractAudioFeatures(media)
+      .select(col("media_id"), col("ok"),
+        col("n_bytes").cast("long").as("n_bytes"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("channels").cast("long").as("channels"),
+        col("n_samples"), col("duration_ms"),
+        col("peak").cast("long").as("peak"), col("clip"), col("sum_abs"),
+        round(when(col("n_samples") > 0,
+            sqrt(col("sum_sq").cast("double") / col("n_samples")))
+          .otherwise(lit(0.0)), 6).as("rms"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q56Sql =
+    """WITH d AS (SELECT doc_id, text, strlen(text) AS nb,
+      |    CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sr,
+      |    doc_id % 97 = 3 AS absent,
+      |    doc_id % 97 <> 3 AND doc_id % 89 = 7 AS rawtext
+      |  FROM documents WHERE text IS NOT NULL),
+      |s AS (SELECT doc_id,
+      |    unnest(list_transform(range(1, len(text) + 1), i -> ord(text[i]))) AS v
+      |  FROM d WHERE NOT absent AND NOT rawtext),
+      |a AS (SELECT doc_id, count(*) AS n,
+      |    max(abs(v - 128)) AS peak,
+      |    sum(CASE WHEN v = 0 OR v = 255 THEN 1 ELSE 0 END) AS clip,
+      |    sum(abs(v - 128)) AS sum_abs,
+      |    sum(CAST((v - 128) * (v - 128) AS BIGINT)) AS sum_sq
+      |  FROM s GROUP BY 1)
+      |SELECT d.doc_id AS media_id,
+      |  NOT (absent OR rawtext) AS ok,
+      |  CAST(CASE WHEN absent THEN 0 WHEN rawtext THEN nb ELSE 44 + nb END AS BIGINT) AS n_bytes,
+      |  CAST(CASE WHEN absent OR rawtext THEN 0 ELSE sr END AS BIGINT) AS sample_rate,
+      |  CAST(CASE WHEN absent OR rawtext THEN 0 ELSE 1 END AS BIGINT) AS channels,
+      |  CAST(coalesce(CASE WHEN absent OR rawtext THEN 0 ELSE a.n END, 0) AS BIGINT) AS n_samples,
+      |  CAST(coalesce(CASE WHEN absent OR rawtext THEN 0 ELSE a.n * 1000 // sr END, 0) AS BIGINT) AS duration_ms,
+      |  CAST(coalesce(CASE WHEN absent OR rawtext THEN 0 ELSE a.peak END, 0) AS BIGINT) AS peak,
+      |  CAST(coalesce(CASE WHEN absent OR rawtext THEN 0 ELSE a.clip END, 0) AS BIGINT) AS clip,
+      |  CAST(coalesce(CASE WHEN absent OR rawtext THEN 0 ELSE a.sum_abs END, 0) AS BIGINT) AS sum_abs,
+      |  coalesce(CASE WHEN absent OR rawtext OR a.n IS NULL OR a.n = 0 THEN 0.0
+      |    ELSE round(sqrt(a.sum_sq * 1.0 / a.n), 6) END, 0.0) AS rms
+      |FROM d LEFT JOIN a ON d.doc_id = a.doc_id
+      |ORDER BY media_id""".stripMargin
+
   // ----------------------------------------------------------------- table
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -1828,6 +1895,7 @@ object Queries {
     "q52_calibration"      -> QueryDef(q52, Some(q52Sql)),
     "q53_drift_ks"         -> QueryDef(q53, Some(q53Sql)),
     "q54_chunking"         -> QueryDef(q54, Some(q54Sql)),
-    "q55_bpe_tokenizer"    -> QueryDef(q55, Some(q55Sql))
+    "q55_bpe_tokenizer"    -> QueryDef(q55, Some(q55Sql)),
+    "q56_audio_decode"     -> QueryDef(q56, Some(q56Sql))
   )
 }

@@ -483,11 +483,11 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L).getAs[Int]("n_bytes") == 23)
     // absent payload: n_bytes 0
     assert(!out(4L).getAs[Boolean]("ok") && out(4L).getAs[Int]("n_bytes") == 0)
-    // audio still rides the FakeDecoder stub — bit-identical to it
-    val fake = Multimodal.FakeDecoder.decode(
-      Seq((5L, "audio", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)))).head
-    assert(out(5L).getAs[Boolean]("ok") == fake._4)
-    assert(feat(5L) == fake._5.toSeq)
+    // audio goes through the REAL javax.sound.sampled parse now: raw
+    // bytes are no RIFF/FORM/.snd container -> error channel with the
+    // payload length (round-6: the round-5 FakeDecoder routing is gone)
+    assert(!out(5L).getAs[Boolean]("ok") && out(5L).isNullAt(4))
+    assert(out(5L).getAs[Int]("n_bytes") == 8)
 
     // decode-bomb guard: a syntactically valid BMP header CLAIMING
     // 65536x65536 (2^32 pixels — a multi-GB raster if ImageIO.read ran)
@@ -503,6 +503,64 @@ class OpsSpec extends AnyFunSuite {
     bomb(28) = 24          // bits per pixel
     val bombOut = Multimodal.ImageIoDecoder.decode(Seq((9L, "image", bomb))).head
     assert(!bombOut._4 && bombOut._3 == 54 && bombOut._5 == null)
+  }
+
+  test("AudioWavDecoder decodes REAL WAVs: exact sample stats, 8/16-bit, error channel, bomb guard") {
+    import spark.implicits._
+    // 8-bit unsigned mono at 8 kHz: samples are the payload bytes
+    val s8 = Array[Byte](0, 127.toByte, 128.toByte, 255.toByte, 64, 192.toByte)
+    val wav8 = Multimodal.wavFromBytes(s8, 8000)
+    val st8 = Multimodal.AudioWavDecoder.decodeStats(wav8).get
+    // centered: -128, -1, 0, 127, -64, 64; clip at 0 and 255
+    assert(st8 == Multimodal.AudioWavDecoder.Stats(8000, 1, 8, 6L,
+      peak = 128, clip = 2L, sumAbs = 128 + 1 + 0 + 127 + 64 + 64,
+      sumSq = 128L * 128 + 1 + 0 + 127L * 127 + 64L * 64 + 64L * 64))
+    assert(st8.durationMs == 0L) // 6 * 1000 / 8000 = 0 (integer floor)
+
+    // 16-bit signed little-endian mono: exact extremes + duration math
+    val s16 = Array[Short](0, 32767, -32768, 1000, -1000)
+    val wav16 = Multimodal.wav16FromSamples(s16, 1000)
+    val st16 = Multimodal.AudioWavDecoder.decodeStats(wav16).get
+    assert(st16 == Multimodal.AudioWavDecoder.Stats(1000, 1, 16, 5L,
+      peak = 32768, clip = 2L, sumAbs = 0L + 32767 + 32768 + 1000 + 1000,
+      sumSq = 32767L * 32767 + 32768L * 32768 + 2L * 1000 * 1000))
+    assert(st16.durationMs == 5L) // 5 frames at 1 kHz
+
+    // JVM round-trip cross-check: what javax.sound encodes, we decode
+    assert(Multimodal.AudioWavDecoder.decodeStats(wav16).isDefined)
+
+    // error channel: text bytes fail the container magic check
+    assert(Multimodal.AudioWavDecoder.decodeStats(
+      "not audio at all".getBytes("UTF-8")).isEmpty)
+    // decode-bomb guard: a RIFF header CLAIMING 2^31 frames of data it
+    // does not have must fail header-first, never allocate/loop that far
+    val bomb = Multimodal.wavFromBytes(Array[Byte](1, 2, 3), 8000)
+    val bb = java.nio.ByteBuffer.wrap(bomb).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(40, Int.MaxValue) // data-chunk size field
+    assert(Multimodal.AudioWavDecoder.decodeStats(bomb).isEmpty)
+
+    // typed exact surface: the two error-channel flavors + batch shape
+    val rows = Seq(
+      (1L, "audio", wav8),
+      (2L, "audio", "plain text".getBytes("UTF-8")),
+      (3L, "audio", null),
+      (4L, "video", wav8)) // non-audio kind is an error row here
+    val out = Multimodal.extractAudioFeatures(
+        rows.toDF("media_id", "kind", "bytes"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("ok") &&
+      out(1L).getAs[Long]("n_samples") == 6L &&
+      out(1L).getAs[Int]("peak") == 128)
+    assert(!out(2L).getAs[Boolean]("ok") &&
+      out(2L).getAs[Int]("n_bytes") == 10)
+    assert(!out(3L).getAs[Boolean]("ok") &&
+      out(3L).getAs[Int]("n_bytes") == 0)
+    assert(!out(4L).getAs[Boolean]("ok"))
+
+    // float-lane Decoder contract through the default JdkDecoder routing
+    val lanes = Multimodal.JdkDecoder.decode(Seq((9L, "audio", wav8))).head
+    assert(lanes._4 && lanes._5.toSeq == Seq(8000f, 1f, 6f, 0f, 128f,
+      st8.rms.toFloat, 2f, st8.meanAbs.toFloat))
   }
 
   test("multimodal resize + frame sampling: schema contract, determinism, corrupt channel") {
