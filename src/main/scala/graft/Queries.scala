@@ -1838,6 +1838,55 @@ object Queries {
       |FROM d LEFT JOIN a ON d.doc_id = a.doc_id
       |ORDER BY media_id""".stripMargin
 
+  /** CCNet-style LM quality scoring ([[graft.ops.NgramLm]]): an add-one
+    * bigram LM trained on the `lang = 'en'` reference slice scores every
+    * document's mean negative log-likelihood. Counts are exact integers
+    * and every probability is a ratio of integers, so DuckDB reproduces
+    * `round(nll, 6)` (IEEE division is correctly rounded; ln agrees well
+    * inside the 1e-6 grading precision).
+    */
+  private def q57(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val model = graft.ops.NgramLm.train(docs.filter(col("lang") === "en"), "text")
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), graft.ops.NgramLm.stats(col("text"), model).as("s"))
+      .select(col("doc_id"),
+        col("s.n_tok").cast("long").as("n_tok"),
+        col("s.n_oov").cast("long").as("n_oov"),
+        round(when(col("s.n_tok") === 0, lit(0.0))
+          .otherwise(-col("s.ll") / col("s.n_tok")), 6).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q57Sql =
+    """WITH tr AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS wl
+      |  FROM documents WHERE lang = 'en' AND text IS NOT NULL),
+      |uni AS (SELECT w, count(*) AS c FROM (SELECT unnest(wl) AS w FROM tr) GROUP BY 1),
+      |cn AS (SELECT coalesce(sum(c), 0) AS n, count(*) + 1 AS v FROM uni),
+      |bi AS (SELECT pr.p AS p, pr.w AS w, count(*) AS c FROM (
+      |    SELECT unnest(list_transform(range(1, len(wl)), i -> struct_pack(p := wl[i], w := wl[i+1]))) AS pr
+      |    FROM tr WHERE len(wl) >= 2) GROUP BY 1, 2),
+      |d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS wl
+      |  FROM documents WHERE text IS NOT NULL),
+      |dw AS (SELECT doc_id, i, wl[i] AS w,
+      |    CASE WHEN i = 1 THEN NULL ELSE wl[i - 1] END AS p
+      |  FROM (SELECT doc_id, wl, unnest(range(1, len(wl) + 1)) AS i FROM d)),
+      |term AS (SELECT dw.doc_id,
+      |    CASE WHEN u.c IS NULL THEN 1 ELSE 0 END AS oov,
+      |    CASE WHEN dw.p IS NULL THEN ln((coalesce(u.c, 0) + 1.0) / (cn.n + cn.v))
+      |         ELSE ln((coalesce(b.c, 0) + 1.0) / (coalesce(up.c, 0) + cn.v)) END AS t
+      |  FROM dw
+      |  LEFT JOIN uni u ON dw.w = u.w
+      |  LEFT JOIN uni up ON dw.p = up.w
+      |  LEFT JOIN bi b ON dw.p = b.p AND dw.w = b.w
+      |  CROSS JOIN cn),
+      |agg AS (SELECT doc_id, count(*) AS n_tok, sum(oov) AS n_oov, sum(t) AS ll
+      |  FROM term GROUP BY 1)
+      |SELECT d.doc_id, CAST(coalesce(a.n_tok, 0) AS BIGINT) AS n_tok,
+      |  CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
+      |  coalesce(round(-a.ll / a.n_tok, 6), 0.0) AS nll
+      |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------- table
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -1896,6 +1945,7 @@ object Queries {
     "q53_drift_ks"         -> QueryDef(q53, Some(q53Sql)),
     "q54_chunking"         -> QueryDef(q54, Some(q54Sql)),
     "q55_bpe_tokenizer"    -> QueryDef(q55, Some(q55Sql)),
-    "q56_audio_decode"     -> QueryDef(q56, Some(q56Sql))
+    "q56_audio_decode"     -> QueryDef(q56, Some(q56Sql)),
+    "q57_lm_perplexity"    -> QueryDef(q57, Some(q57Sql))
   )
 }

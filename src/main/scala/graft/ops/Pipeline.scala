@@ -84,7 +84,20 @@ object Pipeline {
         * calibrate against). Funnel note: the drop surfaces between
         * the `scrubbed` and `exact_dedup` stages.
         */
-      calibrateTrim: Option[Double] = None)
+      calibrateTrim: Option[Double] = None,
+      /** model-based calibration score (round 6): when set together with
+        * `calibrateTrim`, the per-source trim runs on an [[NgramLm]]
+        * bigram log-likelihood score trained on THESE sources' post-scrub
+        * text (the CCNet recipe: perplexity under a clean-reference LM)
+        * instead of `length(text)`. The score is
+        * `floor(mean-ll * 1000)` — millinats, integer, so the
+        * calibration histogram stays bounded per the [[Calibration]]
+        * contract; HIGHER = more reference-like, so the bottom
+        * p-fraction trimmed per source is the least-fluent slice.
+        * Zero-token docs have no measurable fluency -> NULL score ->
+        * dropped by the calibration contract.
+        */
+      calibrateLmRefSources: Seq[String] = Nil)
 
   /** `packed`'s `group` column is the composite (source, id-range
     * bucket) packing key; the parsed `source` and `bucket` columns are
@@ -152,9 +165,25 @@ object Pipeline {
     val train = cfg.calibrateTrim match {
       case None => train0
       case Some(p) =>
-        Calibration.filterCalibrated(
-            train0.withColumn("__cal_score", length(col("text"))),
-            "source", "__cal_score", p)
+        val scored =
+          if (cfg.calibrateLmRefSources.isEmpty)
+            train0.withColumn("__cal_score", length(col("text")))
+          else {
+            val lm = NgramLm.train(
+              train0.filter(col("source").isin(cfg.calibrateLmRefSources: _*)),
+              "text")
+            // an empty/blank reference slice trains a vacuous LM whose
+            // flat scores silently turn the trim into a no-op — refuse
+            require(lm.totalTokens > 0,
+              s"calibrateLmRefSources ${cfg.calibrateLmRefSources} hold no " +
+                "post-scrub text to train the reference LM on")
+            val s = NgramLm.stats(col("text"), lm)
+            train0.withColumn("__cal_score",
+              when(s.getField("n_tok") === 0, lit(null).cast("long"))
+                .otherwise(floor(s.getField("ll") / s.getField("n_tok")
+                  * lit(1000.0)).cast("long")))
+          }
+        Calibration.filterCalibrated(scored, "source", "__cal_score", p)
           .drop("__cal_score")
     }
 

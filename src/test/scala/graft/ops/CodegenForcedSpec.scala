@@ -40,6 +40,8 @@ class CodegenForcedSpec extends AnyFunSuite {
       "array(named_struct('span_start', 1L, 'span_words', 2L))")
     val d = docsDf.select(
       Bpe.encode(col("text"), bpeModel).as("bpe"),
+      NgramLm.stats(col("text"),
+        NgramLm.trainFromDocs(Seq("hello world", "foo bar world"))).as("lm"),
       TextOps.charClassCounts(col("text")).as("census"),
       ColumnsForTest.cutSpans(col("text"), spans).as("cut"),
       ShingleHashes.shingle_hashes(col("text"), 3).as("sh"),

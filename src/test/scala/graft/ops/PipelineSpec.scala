@@ -233,6 +233,33 @@ class PipelineSpec extends AnyFunSuite {
     res4.unpersist()
   }
 
+  test("calibrateLmRefSources: per-source trim runs on the reference-LM score") {
+    // clean source mirrors the reference; srcB holds one gibberish doc
+    // that is LONG (so the length score would KEEP it) but all-OOV (so
+    // the LM score trims it) — the knob must flip which doc drops
+    val refDocs = (1 to 6).map(i =>
+      (100L + i, "the quick brown fox jumps over the lazy dog again and again", "ref"))
+    val bDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog once more today", "srcB"),
+      (2L, "the lazy dog jumps over the quick brown fox every single day", "srcB"),
+      (3L, "zxqv wqpt kjhg mnbv plok qwer asdf zxcv tyui ghjk bnml oiuy", "srcB"))
+    val docs = (refDocs ++ bDocs).toDF("doc_id", "text", "source")
+
+    val lmRes = Pipeline.run(docs, Pipeline.Config(
+      calibrateTrim = Some(0.34), calibrateLmRefSources = Seq("ref")))
+    val keptLm = lmRes.kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!keptLm.contains(3L), s"gibberish doc survived the LM trim: $keptLm")
+    assert(keptLm.contains(1L) && keptLm.contains(2L))
+    lmRes.unpersist()
+
+    // an empty reference slice must refuse, not silently no-op
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.run(docs, Pipeline.Config(
+        calibrateTrim = Some(0.34), calibrateLmRefSources = Seq("nope")))
+    }
+    assert(e.getMessage.contains("reference LM"), e.getMessage)
+  }
+
   test("splitJaccard below the mining floor is refused, not silently weakened") {
     val docs = Seq((1L, "a b c", "s1")).toDF("doc_id", "text", "source")
     val e = intercept[IllegalArgumentException] {
