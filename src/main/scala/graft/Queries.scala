@@ -1887,6 +1887,49 @@ object Queries {
       |  coalesce(round(-a.ll / a.n_tok, 6), 0.0) AS nll
       |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Model-based language ID ([[graft.ops.CtLangId]], Cavnar-Trenkle
+    * rank-order char-trigram profiles): profiles trained from the corpus'
+    * own (lang, text) labels, every document classified by out-of-place
+    * rank distance — all integer arithmetic, replayed exactly in DuckDB.
+    * The stopword heuristic (q12's langId) stays as the label-less
+    * fallback; this is the trained path.
+    */
+  private def q58(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").filter(col("text").isNotNull)
+    val profiles = graft.ops.CtLangId.trainProfiles(docs, "text", "lang")
+    docs.select(col("doc_id"), col("lang"),
+        graft.ops.CtLangId.classify(
+          graft.ops.CtLangId.profile(col("text")), profiles).as("pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q58Sql =
+    """WITH lc AS (SELECT lang, g, count(*) AS c FROM (
+      |    SELECT lang, unnest(list_transform(range(1, len(text) - 1), i -> text[i:i+2])) AS g
+      |    FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL AND len(text) >= 3)
+      |  GROUP BY 1, 2),
+      |lp AS (SELECT lang, g, r FROM (
+      |    SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) - 1 AS r
+      |    FROM lc) WHERE r < 20),
+      |dgc AS (SELECT doc_id, g, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(text) - 1), i -> text[i:i+2])) AS g
+      |    FROM documents WHERE text IS NOT NULL AND len(text) >= 3)
+      |  GROUP BY 1, 2),
+      |dp AS (SELECT doc_id, g, r FROM (
+      |    SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) - 1 AS r
+      |    FROM dgc) WHERE r < 20),
+      |dist AS (SELECT dp.doc_id, l.lang,
+      |    sum(CASE WHEN lp.r IS NULL THEN 20 ELSE abs(dp.r - lp.r) END) AS d
+      |  FROM dp CROSS JOIN (SELECT DISTINCT lang FROM lp) l
+      |  LEFT JOIN lp ON lp.lang = l.lang AND lp.g = dp.g
+      |  GROUP BY 1, 2),
+      |pr AS (SELECT doc_id, lang AS pred FROM (
+      |    SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id ORDER BY d, lang) AS rn
+      |    FROM dist) WHERE rn = 1)
+      |SELECT d.doc_id, d.lang, coalesce(p.pred, 'und') AS pred
+      |FROM (SELECT doc_id, lang FROM documents WHERE text IS NOT NULL) d
+      |LEFT JOIN pr p USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------- table
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -1946,6 +1989,7 @@ object Queries {
     "q54_chunking"         -> QueryDef(q54, Some(q54Sql)),
     "q55_bpe_tokenizer"    -> QueryDef(q55, Some(q55Sql)),
     "q56_audio_decode"     -> QueryDef(q56, Some(q56Sql)),
-    "q57_lm_perplexity"    -> QueryDef(q57, Some(q57Sql))
+    "q57_lm_perplexity"    -> QueryDef(q57, Some(q57Sql)),
+    "q58_langid_ct"        -> QueryDef(q58, Some(q58Sql))
   )
 }

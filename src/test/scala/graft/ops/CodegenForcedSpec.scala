@@ -42,6 +42,8 @@ class CodegenForcedSpec extends AnyFunSuite {
       Bpe.encode(col("text"), bpeModel).as("bpe"),
       NgramLm.stats(col("text"),
         NgramLm.trainFromDocs(Seq("hello world", "foo bar world"))).as("lm"),
+      CtLangId.classify(CtLangId.profile(col("text")),
+        Seq("en" -> Seq("hel", "ell", "llo"), "xx" -> Seq("123", "23 "))).as("ct"),
       TextOps.charClassCounts(col("text")).as("census"),
       ColumnsForTest.cutSpans(col("text"), spans).as("cut"),
       ShingleHashes.shingle_hashes(col("text"), 3).as("sh"),
