@@ -1930,6 +1930,93 @@ object Queries {
       |FROM (SELECT doc_id, lang FROM documents WHERE text IS NOT NULL) d
       |LEFT JOIN pr p USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** URL/domain hygiene ([[graft.ops.UrlOps]]): messy URLs synthesized
+    * deterministically from (doc_id, source) — mixed-case scheme/host,
+    * www., default and explicit ports, tracking params, fragments, a
+    * two-level ccTLD flavor — then canonicalized and domain-split by the
+    * native expressions and blocklist-flagged. The oracle replays the
+    * canonicalization GENERICALLY over the url string with DuckDB
+    * string/list ops (not from the construction recipe), so the rules
+    * themselves are graded; the whole rewritten set is the result (q50
+    * lesson).
+    */
+  private def q59(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val url = concat(
+      when(pmod(d, lit(2)) === 0, lit("HTTP")).otherwise(lit("HTTPS")),
+      lit("://WWW."), upper(col("source")),
+      when(pmod(d, lit(5)) === 0, lit(".CO.UK")).otherwise(lit(".COM")),
+      when(pmod(d, lit(3)) === 0,
+          when(pmod(d, lit(2)) === 0, lit(":80")).otherwise(lit(":443")))
+        .when(pmod(d, lit(3)) === 1, lit(":8080")).otherwise(lit("")),
+      lit("/Docs/"), pmod(d, lit(7)).cast("string"),
+      when(pmod(d, lit(11)) === 5, lit(""))
+        .otherwise(concat(lit("?utm_source=feed&id="), d.cast("string"),
+          lit("&fbclid=abc&ref=tw&q=OK"))),
+      when(pmod(d, lit(13)) === 4, lit("#Sec2")).otherwise(lit("")))
+    val canon = graft.ops.UrlOps.canonicalizeUrl(col("url"))
+    tbl(spark, dir, "documents").filter(col("source").isNotNull)
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), canon.as("canon"),
+        graft.ops.UrlOps.registrableDomain(canon).as("domain"))
+      .withColumn("blocked", col("domain").isin("src3.com", "src7.co.uk"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q59Sql =
+    """WITH u AS (SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'HTTPS' END) || '://WWW.' ||
+      |    upper(source) || (CASE WHEN doc_id % 5 = 0 THEN '.CO.UK' ELSE '.COM' END) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+      |          WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
+      |    '/Docs/' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 11 = 5 THEN ''
+      |          ELSE '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&fbclid=abc&ref=tw&q=OK' END) ||
+      |    (CASE WHEN doc_id % 13 = 4 THEN '#Sec2' ELSE '' END) AS url
+      |  FROM documents WHERE source IS NOT NULL),
+      |c1 AS (SELECT doc_id, split_part(trim(url), '#', 1) AS s FROM u),
+      |c2 AS (SELECT doc_id, contains(s, '://') AS hs,
+      |    CASE WHEN contains(s, '://') THEN lower(split_part(s, '://', 1)) ELSE '' END AS scheme,
+      |    CASE WHEN contains(s, '://') THEN substr(s, strpos(s, '://') + 3) ELSE s END AS rest
+      |  FROM c1),
+      |c3 AS (SELECT doc_id, hs, scheme,
+      |    CASE WHEN contains(rest, '/') THEN left(rest, strpos(rest, '/') - 1) ELSE rest END AS auth0,
+      |    CASE WHEN contains(rest, '/') THEN substr(rest, strpos(rest, '/')) ELSE '' END AS pathq
+      |  FROM c2),
+      |c4 AS (SELECT doc_id, hs, scheme, pathq,
+      |    CASE WHEN starts_with(lower(auth0), 'www.') THEN substr(lower(auth0), 5) ELSE lower(auth0) END AS h1
+      |  FROM c3),
+      |c5 AS (SELECT doc_id, hs, scheme, pathq,
+      |    CASE WHEN scheme = 'http' AND ends_with(h1, ':80') THEN left(h1, len(h1) - 3)
+      |         WHEN scheme = 'https' AND ends_with(h1, ':443') THEN left(h1, len(h1) - 4)
+      |         ELSE h1 END AS host
+      |  FROM c4),
+      |c6 AS (SELECT doc_id, hs, scheme, host,
+      |    CASE WHEN contains(pathq, '?') THEN left(pathq, strpos(pathq, '?') - 1) ELSE pathq END AS path,
+      |    CASE WHEN contains(pathq, '?') THEN substr(pathq, strpos(pathq, '?') + 1) ELSE '' END AS query
+      |  FROM c5),
+      |c7 AS (SELECT doc_id, hs, scheme, host, path,
+      |    CASE WHEN query = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE list_filter(string_split(query, '&'), p ->
+      |           NOT (starts_with(split_part(p, '=', 1), 'utm_') OR
+      |                split_part(p, '=', 1) IN ('gclid', 'fbclid', 'msclkid', 'ref'))) END AS kept
+      |  FROM c6),
+      |canon AS (SELECT doc_id,
+      |    (CASE WHEN hs THEN scheme || '://' ELSE '' END) || host || path ||
+      |    (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END) AS canon,
+      |    host FROM c7),
+      |dom AS (SELECT doc_id, canon,
+      |    CASE WHEN len(ls) < 2 THEN hp
+      |         WHEN (ls[-2] || '.' || ls[-1]) IN ('co.uk', 'ac.uk', 'com.au', 'co.jp')
+      |           THEN (CASE WHEN len(ls) >= 3 THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1] ELSE hp END)
+      |         ELSE ls[-2] || '.' || ls[-1] END AS domain
+      |  FROM (SELECT doc_id, canon,
+      |      string_split(CASE WHEN contains(host, ':') THEN left(host, strpos(host, ':') - 1) ELSE host END, '.') AS ls,
+      |      CASE WHEN contains(host, ':') THEN left(host, strpos(host, ':') - 1) ELSE host END AS hp
+      |    FROM canon))
+      |SELECT doc_id, canon, domain, domain IN ('src3.com', 'src7.co.uk') AS blocked
+      |FROM dom ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------- table
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -1990,6 +2077,7 @@ object Queries {
     "q55_bpe_tokenizer"    -> QueryDef(q55, Some(q55Sql)),
     "q56_audio_decode"     -> QueryDef(q56, Some(q56Sql)),
     "q57_lm_perplexity"    -> QueryDef(q57, Some(q57Sql)),
-    "q58_langid_ct"        -> QueryDef(q58, Some(q58Sql))
+    "q58_langid_ct"        -> QueryDef(q58, Some(q58Sql)),
+    "q59_url_canon"        -> QueryDef(q59, Some(q59Sql))
   )
 }

@@ -97,7 +97,17 @@ object Pipeline {
         * Zero-token docs have no measurable fluency -> NULL score ->
         * dropped by the calibration contract.
         */
-      calibrateLmRefSources: Seq[String] = Nil)
+      calibrateLmRefSources: Seq[String] = Nil,
+      /** URL hygiene (round 6): when non-empty, rows whose `urlCol`
+        * registrable domain ([[UrlOps.registrableDomain]] over the
+        * canonical URL) is listed here are dropped FIRST — the standard
+        * pre-dedup web-corpus gate. Requires the input to carry `urlCol`;
+        * the drop surfaces in the funnel between the input and
+        * `quality` stages. NULL urls are kept (no domain to judge —
+        * route them through an explicit policy upstream if needed).
+        */
+      urlBlocklist: Seq[String] = Nil,
+      urlCol: String = "url")
 
   /** `packed`'s `group` column is the composite (source, id-range
     * bucket) packing key; the parsed `source` and `bucket` columns are
@@ -151,7 +161,15 @@ object Pipeline {
         s"to >= $MiningFloor.")
     val nInput = docs.count()
 
-    val clean = QualityFilter.filter(docs, "text", cfg.rules)
+    // URL-domain blocklist gate FIRST (pre-quality): web-corpus hygiene
+    // runs before any text-based judgement
+    val gated = if (cfg.urlBlocklist.isEmpty) docs else {
+      require(docs.columns.contains(cfg.urlCol),
+        s"urlBlocklist set but input has no '${cfg.urlCol}' column")
+      UrlOps.filterBlocked(docs, cfg.urlCol, cfg.urlBlocklist)
+    }
+
+    val clean = QualityFilter.filter(gated, "text", cfg.rules)
     val scrubbed = Redaction.annotate(clean, "text")
       .withColumn("text", col("text_redacted"))
       .drop("text_redacted")

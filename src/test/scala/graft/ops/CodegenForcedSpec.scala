@@ -44,6 +44,9 @@ class CodegenForcedSpec extends AnyFunSuite {
         NgramLm.trainFromDocs(Seq("hello world", "foo bar world"))).as("lm"),
       CtLangId.classify(CtLangId.profile(col("text")),
         Seq("en" -> Seq("hel", "ell", "llo"), "xx" -> Seq("123", "23 "))).as("ct"),
+      UrlOps.canonicalizeUrl(concat(lit("HTTP://WWW.Ex.COM:80/p?utm_x=1&q="),
+        col("text"))).as("canon"),
+      UrlOps.registrableDomain(lit("http://a.b.site.co.uk/x")).as("dom"),
       TextOps.charClassCounts(col("text")).as("census"),
       ColumnsForTest.cutSpans(col("text"), spans).as("cut"),
       ShingleHashes.shingle_hashes(col("text"), 3).as("sh"),
