@@ -399,6 +399,16 @@ object Main {
             s"${cnt(graft.streaming.StreamingPipeline.trainPath(statePath))} kept, " +
             s"${cnt(graft.streaming.StreamingPipeline.rejectsPath(statePath))} rejected " +
             s"(state at $statePath)")
+          // deployment-lifetime funnel (round 6): per-stage totals across
+          // all batches, the streaming twin of `pipeline --funnel`
+          scala.util.Try {
+            graft.streaming.StreamingPipeline.funnelTotals(spark, statePath)
+              .groupBy(col("stage_idx"), col("stage"))
+              .agg(sum(col("n_docs")).as("n"))
+              .orderBy(col("stage_idx"))
+              .collect()
+              .foreach(r => println(f"  funnel ${r.getString(1)}%-12s ${r.getLong(2)}%d"))
+          }
         }
 
       case other => sys.error(s"unknown command '$other' (want $commands)")

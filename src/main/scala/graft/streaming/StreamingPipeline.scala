@@ -62,6 +62,7 @@ object StreamingPipeline {
 
   def trainPath(statePath: String) = s"$statePath/train"
   def rejectsPath(statePath: String) = s"$statePath/rejects"
+  def funnelPath(statePath: String) = s"$statePath/funnel"
   def hashIndexPath(statePath: String) = s"$statePath/hash-index"
   def sigIndexPath(statePath: String) = s"$statePath/sig-index"
   def checkpointPath(statePath: String) = s"$statePath/checkpoint"
@@ -114,6 +115,26 @@ object StreamingPipeline {
   /** All batches' rejects: (doc_id, stage, reasons, batch_id). */
   def rejects(spark: SparkSession, statePath: String): DataFrame =
     spark.read.parquet(rejectsPath(statePath))
+
+  /** Per-batch source funnel rows (round 6 — the streaming twin of
+    * [[graft.ops.Pipeline.sourceFunnel]]): (source, stage_idx, stage,
+    * n_docs, batch_id), one complete zero-filled grid per batch over the
+    * batch's own sources. Written per-batch-dir like train/rejects, so
+    * replays overwrite idempotently and a crashed batch leaves no
+    * half-funnel.
+    */
+  def funnel(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(funnelPath(statePath))
+
+  /** Deployment-lifetime funnel: per (source, stage) totals across all
+    * batches — directly comparable to the batch pipeline's funnel on the
+    * shared stages (scrubbed / exact_dedup / near_dedup; streaming has
+    * no decontamination stage and ships what near-dedup keeps).
+    */
+  def funnelTotals(spark: SparkSession, statePath: String): DataFrame =
+    funnel(spark, statePath)
+      .groupBy(col("source"), col("stage_idx"), col("stage"))
+      .agg(sum(col("n_docs")).as("n_docs"))
 
   private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
                                       batchId: Long, statePath: String,
@@ -263,6 +284,33 @@ object StreamingPipeline {
           qualityRejects.unionByName(exactRejects).unionByName(nearRejects),
           s"${rejectsPath(statePath)}/batch_id=$batchId")
         writeBatchDir(kept, s"${trainPath(statePath)}/batch_id=$batchId")
+
+        // ---- per-batch source funnel: survivors per (source, stage)
+        // over the batch's cached frames (clean/afterExact persisted
+        // above; kept is two anti-joins over them). Complete grid with
+        // explicit zeros and a NULL-SAFE source match — the batch
+        // funnel's q-class lessons (EqualTo gives NULL sources 0 at
+        // every stage; a missing grid row reads as "never seen").
+        locally {
+          val stages = Seq((0, "input", batch), (1, "scrubbed", clean),
+            (2, "exact_dedup", afterExact), (3, "near_dedup", kept))
+          val counts = stages.map { case (i, n, df) =>
+            df.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+              .withColumn("stage_idx", lit(i)).withColumn("stage", lit(n))
+          }.reduce(_ unionByName _)
+          val sess = batch.sparkSession
+          import sess.implicits._
+          val grid = batch.select(col("source")).distinct()
+            .crossJoin(stages.map(s => (s._1, s._2)).toSeq
+              .toDF("stage_idx", "stage"))
+          val funnelRows = grid.as("g").join(counts.as("c"),
+              col("g.source") <=> col("c.source") &&
+                col("g.stage_idx") === col("c.stage_idx"), "left")
+            .select(col("g.source"), col("g.stage_idx"), col("g.stage"),
+              coalesce(col("c.__n"), lit(0L)).as("n_docs"))
+          writeBatchDir(funnelRows,
+            s"${funnelPath(statePath)}/batch_id=$batchId")
+        }
 
         val keptIds = kept.select(col("doc_id"))
         CompactedIndex.append(

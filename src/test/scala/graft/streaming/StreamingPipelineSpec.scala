@@ -363,4 +363,60 @@ class StreamingPipelineSpec extends AnyFunSuite {
     StreamingPipeline.processBatch(spark, df(10L, 11L, 12L, 13L), 1L, state, p)
     assert(keptIds(state) == Set(1L, 2L, 12L))
   }
+
+  test("funnel: complete zero-filled per-batch grid, NULL-safe sources, totals == batch Pipeline funnel") {
+    val dir = java.nio.file.Files.createTempDirectory("spipe-funnel").toString
+    // shared fixture plus one NULL-source survivor — the grid must carry
+    // it with real counts at every stage (the batch funnel's <=> lesson)
+    val extra = Seq((20L, fam("golf"), null.asInstanceOf[String]))
+    val all = (docs ++ extra).toDF("doc_id", "text", "source")
+    StreamingPipeline.processBatch(spark,
+      (docs.take(4) ++ extra).toDF("doc_id", "text", "source"), 0L, dir, p)
+    StreamingPipeline.processBatch(spark,
+      docs.drop(4).toDF("doc_id", "text", "source"), 1L, dir, p)
+
+    val rows = StreamingPipeline.funnel(spark, dir).collect()
+      .map(r => (r.getAs[Number]("batch_id").longValue(),
+        Option(r.getAs[String]("source")),
+        r.getAs[String]("stage"), r.getAs[Long]("n_docs")))
+    // batch 0 sources {web, NULL} x 4 stages; batch 1 {web, books} x 4
+    assert(rows.count(_._1 == 0L) == 8, rows.filter(_._1 == 0L).mkString(","))
+    assert(rows.count(_._1 == 1L) == 8, rows.filter(_._1 == 1L).mkString(","))
+    val b0 = rows.filter(_._1 == 0L)
+      .map(r => (r._2, r._3) -> r._4).toMap
+    // batch 0 (docs 1,2,3,10 web + 20 NULL): 3 fails quality, 10 near-dups 1
+    assert(b0((Some("web"), "input")) == 4)
+    assert(b0((Some("web"), "scrubbed")) == 3)
+    assert(b0((Some("web"), "exact_dedup")) == 3)
+    assert(b0((Some("web"), "near_dedup")) == 2)
+    assert(b0((None, "input")) == 1 && b0((None, "near_dedup")) == 1,
+      "NULL-source rows must carry real counts, not zeros")
+
+    // lifetime totals == the batch Pipeline's funnel on the shared stages
+    val res = graft.ops.Pipeline.run(all)
+    val batchF = graft.ops.Pipeline.sourceFunnel(res).collect()
+      .map(r => (Option(r.getAs[String]("source")), r.getAs[String]("stage")) ->
+        r.getAs[Long]("n_docs")).toMap
+    res.unpersist()
+    val streamT = StreamingPipeline.funnelTotals(spark, dir).collect()
+      .map(r => (Option(r.getAs[String]("source")), r.getAs[String]("stage")) ->
+        r.getAs[Long]("n_docs")).toMap
+    for (stage <- Seq("scrubbed", "exact_dedup", "near_dedup");
+         src <- Seq(Some("web"), Some("books"), None)) {
+      assert(streamT.getOrElse((src, stage), 0L) ==
+        batchF.getOrElse((src, stage), 0L),
+        s"funnel parity broke at ($src, $stage): " +
+          s"stream=${streamT.get((src, stage))} batch=${batchF.get((src, stage))}")
+    }
+    // input accounts for every document exactly once
+    assert(streamT.collect { case ((_, "input"), n) => n }.sum == all.count())
+
+    // replaying a batch (crash-and-retry) leaves the funnel unchanged
+    StreamingPipeline.processBatch(spark,
+      docs.drop(4).toDF("doc_id", "text", "source"), 1L, dir, p)
+    val streamT2 = StreamingPipeline.funnelTotals(spark, dir).collect()
+      .map(r => (Option(r.getAs[String]("source")), r.getAs[String]("stage")) ->
+        r.getAs[Long]("n_docs")).toMap
+    assert(streamT2 == streamT, "funnel must be replay-idempotent")
+  }
 }
