@@ -55,6 +55,25 @@ object PlanCheck {
     println("==== round 3: q08 rank top-k (partial WindowGroupLimit) ====")
     Queries.defs.toMap.apply("q08_topk_window").fn(spark, "/root/testdata/sf0.001")
       .explain("formatted")
+
+    // round 6: capture the graded-query plan TEXT for q43+ (the round-5
+    // PLANS.md sections were prose; the stated purpose of that file is
+    // the plans themselves). explain() only PLANS the frame — but several
+    // of these queries run driver-side training/catalog jobs while
+    // BUILDING it (BPE merges, LM counts, CT profiles, mix thresholds),
+    // which is fine at sf0.001.
+    val round56 = Seq(
+      "q43_source_mix", "q44_leakfree_split", "q45_epoch_plan",
+      "q46_source_overlap", "q47_train_order", "q48_split_audit",
+      "q49_corpus_diff", "q50_dedup_cut", "q51_boilerplate",
+      "q52_calibration", "q53_drift_ks", "q54_chunking",
+      "q55_bpe_tokenizer", "q56_audio_decode", "q57_lm_perplexity",
+      "q58_langid_ct", "q59_url_canon")
+    round56.foreach { name =>
+      println(s"==== round 5/6 graded: $name ====")
+      Queries.defs.toMap.apply(name).fn(spark, "/root/testdata/sf0.001")
+        .explain("formatted")
+    }
     spark.stop()
   }
 }
