@@ -75,6 +75,16 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
+    // SPARK_GRAFT_ONLY=q50_dedup_cut[,...]: measure a subset of the
+    // battery in a fresh JVM with nothing else warm — the quiet-table
+    // STANDALONE numbers. A query that rides another's persisted frame
+    // inside the full battery (q50 plan-matches q39's cached windows via
+    // CacheManager) needs this mode to show its unsubsidized cost.
+    // Skips the suite throughput runs and the q40 index ensure (unless
+    // q40 itself is in the set); the JSON line keeps its shape.
+    val onlySet: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+
     // validation-suite throughput over synthesized sequences. 8M rows
     // (~3 GB parquet) so per-job fixed costs (codegen compile, AQE stage
     // scheduling, driver collects) amortize and the rate reflects
@@ -87,16 +97,18 @@ object Bench {
     val seqRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "8000000").toLong
     val benchDir = s"target/bench-seqs-$seqRows"
     val cfg = SequenceSynth.Config(rows = seqRows)
-    val fs = new org.apache.hadoop.fs.Path(benchDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(fs.makeQualified(new org.apache.hadoop.fs.Path(s"$benchDir/_SUCCESS")))) { // a crashed synth leaves no marker
-      SequenceSynth.write(spark, cfg, benchDir, buckets = cpus.toInt)
-      SequenceSynth.sourcesDim(spark, cfg).write.mode("overwrite").parquet(s"$benchDir-dim")
+    if (onlySet.isEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(benchDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(fs.makeQualified(new org.apache.hadoop.fs.Path(s"$benchDir/_SUCCESS")))) { // a crashed synth leaves no marker
+        SequenceSynth.write(spark, cfg, benchDir, buckets = cpus.toInt)
+        SequenceSynth.sourcesDim(spark, cfg).write.mode("overwrite").parquet(s"$benchDir-dim")
+      }
     }
-    val dim = spark.read.parquet(s"$benchDir-dim")
     val suiteCfg = Validator.SuiteConfig(vocabSize = cfg.vocabSize,
       minNtok = cfg.minNtok, maxNtok = cfg.maxNtok + 1)
     def runSuite(): Double = {
+      val dim = spark.read.parquet(s"$benchDir-dim")
       val t = time {
         val df = spark.read.parquet(benchDir)
         // one-scan path: stats ride the violations count via observe;
@@ -121,18 +133,22 @@ object Bench {
       (beans.map(_.getCollectionCount).sum, beans.map(_.getCollectionTime).sum)
     }
     val suiteRuns = scala.collection.mutable.ArrayBuffer[(Double, Long)]()
-    for (_ <- 0 until 4) {
-      val (_, gc0) = gcTotals()
-      val t = runSuite()
-      val (_, gc1) = gcTotals()
-      suiteRuns += ((t, gc1 - gc0))
-      System.gc() // no run inherits the previous run's garbage
+    if (onlySet.isEmpty) {
+      for (_ <- 0 until 4) {
+        val (_, gc0) = gcTotals()
+        val t = runSuite()
+        val (_, gc1) = gcTotals()
+        suiteRuns += ((t, gc1 - gc0))
+        System.gc() // no run inherits the previous run's garbage
+      }
+      val warmSorted = suiteRuns.drop(1).map(_._1).sorted
+      results("suite_validate_cold") = suiteRuns.head._1
+      results("suite_validate_warm") = warmSorted(warmSorted.size / 2)
     }
-    val warmSorted = suiteRuns.drop(1).map(_._1).sorted
-    results("suite_validate_cold") = suiteRuns.head._1
-    results("suite_validate_warm") = warmSorted(warmSorted.size / 2)
-    val warmGtCold = results("suite_validate_warm") > results("suite_validate_cold")
-    val seqPerSec = seqRows / results("suite_validate_warm")
+    val warmGtCold = suiteRuns.nonEmpty &&
+      results("suite_validate_warm") > results("suite_validate_cold")
+    val seqPerSec =
+      if (suiteRuns.nonEmpty) seqRows / results("suite_validate_warm") else 0.0
 
     // q40's index is a one-time persisted artifact, not part of the
     // per-batch probe it models: build it OUTSIDE the battery and report
@@ -140,15 +156,16 @@ object Bench {
     // (round 3 conflated the two whenever target/ was cold) and the JSON
     // says whether this run built or reused.
     var q40Built = false
-    results("q40_index_build") =
-      try time { q40Built = Queries.ensureQ40Index(spark, sfDir)._2 }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] q40 index build failed: ${e.getMessage}")
-        // the timed q40 entry will retry the build INSIDE its region —
-        // flag it so the artifact never claims a clean probe reading
-        q40Built = true
-        -1.0
-      }
+    if (onlySet.forall(_.contains("q40_incremental_dedup")))
+      results("q40_index_build") =
+        try time { q40Built = Queries.ensureQ40Index(spark, sfDir)._2 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] q40 index build failed: ${e.getMessage}")
+          // the timed q40 entry will retry the build INSIDE its region —
+          // flag it so the artifact never claims a clean probe reading
+          q40Built = true
+          -1.0
+        }
 
     // the battery runs >= 2 full passes and reports the per-query MIN:
     // host-load bursts arrive MID-run on this box (they only ever
@@ -163,7 +180,8 @@ object Bench {
     for (_ <- 0 until batteryPasses) {
       passLoads += loadAvg()
       val tPass0 = System.nanoTime()
-      Queries.defs.foreach { case (name, d) =>
+      Queries.defs.filter { case (name, _) => onlySet.forall(_.contains(name)) }
+        .foreach { case (name, d) =>
         // a failed query records -1 (excluded from the total below), never
         // its time-to-failure — a partially failed run must not read clean;
         // a failure in one pass must not shadow a clean reading in another

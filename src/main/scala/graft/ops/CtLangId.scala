@@ -43,6 +43,14 @@ object CtLangId {
 
   /** Language profiles, collected (catalog-sized: #langs x k). Sorted by
     * language code for deterministic downstream iteration.
+    *
+    * The corpus pass explodes PER-DOCUMENT COUNT MAPS ([[CtNgramCounts]],
+    * one native walk per doc), not raw n-gram occurrences: a doc emits
+    * its ~distinct-n-gram rows (pre-weighted) instead of one row per
+    * character — ~8x fewer generated rows and no interpreted
+    * transform-lambda per char (the round-1 HOF tax; the composed
+    * [[ngramArray]] twin stays as the semantic oracle, pinned in
+    * CtLangIdSpec).
     */
   def trainProfiles(df: DataFrame, textCol: String, langCol: String,
                     n: Int = 3, k: Int = 20): Seq[(String, Seq[String])] = {
@@ -50,8 +58,8 @@ object CtLangId {
       .partitionBy(col("lang")).orderBy(col("c").desc, col("g"))
     df.filter(col(textCol).isNotNull && col(langCol).isNotNull)
       .select(col(langCol).as("lang"),
-        explode(ngramArray(col(textCol), n)).as("g"))
-      .groupBy("lang", "g").agg(count(lit(1)).as("c"))
+        explode(ngramCounts(col(textCol), n)).as(Seq("g", "dc")))
+      .groupBy("lang", "g").agg(sum(col("dc")).as("c"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .orderBy(col("lang"), col("rk"))
@@ -61,8 +69,13 @@ object CtLangId {
       .sortBy(_._1)
   }
 
-  /** All length-n substrings as an array column (training-side only;
-    * the classify path uses the native one-walk profile instead).
+  /** Per-document n-gram count map (native one-walk). */
+  def ngramCounts(text: Column, n: Int): Column =
+    ColumnBridge.column(CtNgramCounts(ColumnBridge.expression(text), n))
+
+  /** All length-n substrings as an array column — the composed-builtins
+    * twin of the count-map path (semantic oracle; one interpreted lambda
+    * per character, so the hot path avoids it).
     */
   private[ops] def ngramArray(text: Column, n: Int): Column =
     when(length(text) < n, array().cast("array<string>"))
@@ -86,6 +99,62 @@ object CtLangId {
     CtClassify.computeFromStrings(
       (0 until prof.numElements()).map(i => prof.getUTF8String(i).toString),
       new CtRuntime(profiles, k))
+  }
+}
+
+/** Native per-document n-gram count map: one walk, map<string,int> out —
+  * the training pass' generator (distinct n-grams per doc, pre-weighted,
+  * instead of one exploded row per character).
+  */
+case class CtNgramCounts(child: Expression, n: Int)
+  extends UnaryExpression {
+  require(n >= 1, s"need n >= 1, got $n")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.MapType(StringType,
+      org.apache.spark.sql.types.IntegerType, valueContainsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a STRING argument, got ${other.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    CtNgramCounts.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.CtNgramCounts.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CtNgramCounts =
+    copy(child = newChild)
+  override def prettyName: String = "ct_ngram_counts"
+}
+
+object CtNgramCounts {
+  def compute(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.MapData = {
+    val s = text.toString
+    val counts = new java.util.LinkedHashMap[String, Integer]()
+    var i = 0
+    while (i + n <= s.length) {
+      counts.merge(s.substring(i, i + n), 1, (a, b) => a + b)
+      i += 1
+    }
+    val keys = new Array[Any](counts.size())
+    val vals = new Array[Any](counts.size())
+    var j = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = UTF8String.fromString(e.getKey)
+      vals(j) = e.getValue.intValue()
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
   }
 }
 

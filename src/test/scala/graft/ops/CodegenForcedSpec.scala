@@ -46,6 +46,7 @@ class CodegenForcedSpec extends AnyFunSuite {
         Seq("en" -> Seq("hel", "ell", "llo"), "xx" -> Seq("123", "23 "))).as("ct"),
       UrlOps.canonicalizeUrl(concat(lit("HTTP://WWW.Ex.COM:80/p?utm_x=1&q="),
         col("text"))).as("canon"),
+      map_entries(CtLangId.ngramCounts(col("text"), 3)).as("ngc"),
       UrlOps.registrableDomain(lit("http://a.b.site.co.uk/x")).as("dom"),
       TextOps.charClassCounts(col("text")).as("census"),
       ColumnsForTest.cutSpans(col("text"), spans).as("cut"),

@@ -46,6 +46,19 @@ class CtLangIdSpec extends AnyFunSuite {
     assert(CtClassify.computeFromStrings(Seq("abc"), rt2) == "cc")
   }
 
+  test("ngramCounts native == composed ngramArray counting (the training generator)") {
+    val docs = Seq("ababa xx", "zz", "", "abc").toDF("text")
+    val native = docs.select(explode(CtLangId.ngramCounts(col("text"), 3))
+        .as(Seq("g", "c")))
+      .groupBy("g").agg(sum("c").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val composed = docs.select(explode(CtLangId.ngramArray(col("text"), 3)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(native == composed, s"$native vs $composed")
+    assert(native("aba") == 2L)
+  }
+
   test("trainProfiles + column classify: labels recovered on a separable corpus") {
     val docs = Seq(
       (1L, "aaxx aaxx aaxx aaxx", "A"),
