@@ -6,10 +6,14 @@ import org.apache.spark.sql.functions._
 /** Scale soak for the recipe-operator family (round 6): the SCALE.md
   * shape claims ("sources-sized", "catalog-sized windows", "no global
   * sort") deserve a measured point beyond the graded scale. Runs
-  * mix / epoch / order / calibration / chunking at two corpus sizes
+  * mix / epoch / order / calibration / chunking — plus the round-6
+  * model-shaped family (BPE train/apply, LM train/score, CT-langid
+  * train/classify, URL canonicalize+domain stats) — at two corpus sizes
   * (default 200k and 2M docs — 10x) and prints per-op wall time and
-  * docs/sec so per-row cost flatness is a read-off. A diagnostic, not
-  * part of the driver contract.
+  * docs/sec so per-row cost flatness is a read-off. Apply/score/classify
+  * rows use models trained ONCE on the 5k-doc base so they measure only
+  * the native-expression scan; the train rows soak the training jobs
+  * themselves. A diagnostic, not part of the driver contract.
   *
   * Usage: runMain graft.tools.RecipeScale [copiesSmall] [copiesBig] [runs]
   */
@@ -48,6 +52,13 @@ object RecipeScale {
       path
     }
 
+    // fixed models for the apply-side rows (trained on the 5k-doc base,
+    // constant across corpus sizes — the scan is the thing under test)
+    val baseDocs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val bpeModel = graft.ops.Bpe.train(baseDocs, "text", numMerges = 200)
+    val lmModel = graft.ops.NgramLm.train(baseDocs, "text")
+    val ctProfiles = graft.ops.CtLangId.trainProfiles(baseDocs, "text", "source")
+
     for (copies <- Seq(copiesSmall, copiesBig)) {
       val path = corpus(copies)
       val n = copies * 5000L
@@ -78,6 +89,27 @@ object RecipeScale {
       }
       bestOf("chunking")(graft.ops.Chunking
         .chunk(docs, "text", "doc_id", 32, 24).count())
+
+      // round-6 model-shaped family
+      bestOf("bpe_train")(
+        graft.ops.Bpe.train(docs, "text", numMerges = 50).merges.size.toLong)
+      bestOf("bpe_apply")(docs
+        .agg(sum(size(graft.ops.Bpe.encode(col("text"), bpeModel))))
+        .head().getLong(0))
+      bestOf("lm_train")(graft.ops.NgramLm.train(docs, "text").vocabSize)
+      bestOf("lm_score")(docs
+        .agg(sum(graft.ops.NgramLm.stats(col("text"), lmModel)
+          .getField("n_tok"))).head().getLong(0))
+      bestOf("ct_train")(
+        graft.ops.CtLangId.trainProfiles(docs, "text", "source").size.toLong)
+      bestOf("ct_classify")(docs.filter(graft.ops.CtLangId.classify(
+        graft.ops.CtLangId.profile(col("text")), ctProfiles) =!= "und").count())
+      bestOf("url_canon") {
+        val withUrl = docs.select(concat(lit("HTTP://WWW."), col("source"),
+          lit(".Example.COM:80/p/"), col("doc_id").cast("string"),
+          lit("?utm_source=x&q=1")).as("url"))
+        graft.ops.UrlOps.domainStats(withUrl, "url").count()
+      }
     }
     spark.stop()
   }
