@@ -185,14 +185,28 @@ object Main {
           // --calibrate-trim P: drop each train source's bottom
           //   P-fraction by post-scrub length (graft.ops.Calibration)
           calibrateTrim =
-            opts.get("calibrate-trim").filter(_.nonEmpty).map(_.toDouble))
+            opts.get("calibrate-trim").filter(_.nonEmpty).map(_.toDouble),
+          // --calibrate-lm-ref S1,S2: the trim scores on a bigram LM
+          //   trained on these sources (CCNet recipe) instead of length
+          calibrateLmRefSources = opts.get("calibrate-lm-ref")
+            .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+          // --url-blocklist D1,D2 [--url-col url]: pre-quality
+          //   registrable-domain gate (graft.ops.UrlOps)
+          urlBlocklist = opts.get("url-blocklist")
+            .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+          urlCol = flagOr(opts, "url-col", "url"),
+          // --pack-bpe-merges N: budget packs in BPE tokens under a
+          //   tokenizer trained on the shipped train corpus
+          packBpeMerges = flagOr(opts, "pack-bpe-merges", "0").toInt)
         val res = graft.ops.Pipeline.run(spark.read.parquet(opts("input")), cfg)
         res.packed.write.mode("overwrite").parquet(s"$out/packs")
         res.corpus.write.mode("overwrite").parquet(s"$out/docs")
         val nKept = spark.read.parquet(s"$out/docs").count()
         val nPacks = spark.read.parquet(s"$out/packs").count()
+        val budgetUnit = if (cfg.packBpeMerges > 0)
+          s"tokens, BPE ${cfg.packBpeMerges} merges" else "chars"
         println(s"Pipeline: ${res.nInput} docs in -> $nKept kept -> $nPacks packs" +
-          s" (budget ${cfg.budget} chars) at $out")
+          s" (budget ${cfg.budget} $budgetUnit) at $out")
         // --funnel: per-(source, stage) survivor counts — the "which
         // stage ate source X" attribution view
         if (opts.contains("funnel"))

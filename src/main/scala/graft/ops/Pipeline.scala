@@ -27,7 +27,9 @@ object Pipeline {
       jaccardThreshold: Double = 0.8,
       /** eval-in-train n-gram containment threshold */
       containmentThreshold: Double = 0.8,
-      /** pack budget in characters of `text` */
+      /** pack budget in characters of `text` (in BPE TOKENS when
+        * `packBpeMerges` > 0)
+        */
       budget: Int = 4096,
       /** id-range width of the packing key's bucket component
         * ([[Packing.bucketKey]]) — packs never cross a bucket, so
@@ -107,7 +109,20 @@ object Pipeline {
         * route them through an explicit policy upstream if needed).
         */
       urlBlocklist: Seq[String] = Nil,
-      urlCol: String = "url")
+      urlCol: String = "url",
+      /** token-budget packing (round 6 — closes the engine's own
+        * `tokens array<int>` input contract end to end): when > 0, a
+        * [[Bpe]] tokenizer with this many merges is trained on the TRAIN
+        * side of the shipped corpus (post-quality, post-dedup text — the
+        * tokenizer should see what ships; with epochs on, repeats weight
+        * the counts toward what training actually consumes) and `budget`
+        * is read as TOKENS: each pack item weighs
+        * `size(Bpe.encode(text))` instead of `length(text)`. The trained
+        * model ships in [[Result.bpe]] so downstream consumers encode
+        * with the SAME vocabulary the packs were budgeted under. 0
+        * (default) keeps the character budget.
+        */
+      packBpeMerges: Int = 0)
 
   /** `packed`'s `group` column is the composite (source, id-range
     * bucket) packing key; the parsed `source` and `bucket` columns are
@@ -135,7 +150,12 @@ object Pipeline {
         */
       corpusPreOrder: DataFrame,
       packed: DataFrame,
-      miner: Cached[DataFrame]) {
+      miner: Cached[DataFrame],
+      /** the tokenizer the packs were budgeted under (Some iff
+        * `packBpeMerges` > 0) — downstream encode must use this model,
+        * not a retrain, or token counts drift from the pack budgets
+        */
+      bpe: Option[Bpe.Model] = None) {
     def unpersist(): Unit = {
       scrubbed.unpersist(); exact.unpersist(); kept.unpersist()
       miner.close()
@@ -312,11 +332,25 @@ object Pipeline {
         concat_ws("#", col("split"), col("source"))
       else col("source")
     val (packSrc, packBucket) = Packing.parseBucketKey(col("group"))
+    // token-budget packing: train the tokenizer on the train side of the
+    // shipped corpus (never the val side — its text is none of the
+    // tokenizer's business, same asymmetry as mix/epoch/calibration)
+    val bpe =
+      if (cfg.packBpeMerges > 0) {
+        val trainSide =
+          if (cfg.valPermille.isDefined) corpus0.filter(col("split") === "train")
+          else corpus0
+        Some(Bpe.train(trainSide, "text", cfg.packBpeMerges))
+      } else None
+    val packLen = bpe match {
+      case Some(m) => size(Bpe.encode(col("text"), m)).cast("long")
+      case None => length(col("text")).cast("long")
+    }
     // packs build from the PRE-order frame: packing regroups anyway, and
     // consuming `corpus` here would drag the order stage's offset join
     // into the packing plan for columns packs never read
     val packed = Packing.packGreedy(
-        corpus0.withColumn("len", length(col("text")))
+        corpus0.withColumn("len", packLen)
           .withColumn("__pack_grp",
             Packing.bucketKey(packBy, col("doc_id"), cfg.idsPerBucket)),
         "__pack_grp", "doc_id", "len", cfg.budget)
@@ -324,7 +358,7 @@ object Pipeline {
       .withColumn("bucket", packBucket)
 
     Result(nInput, scrubbed, eval, exact, pairs, canonical, kept, corpus,
-      corpus0, packed, miner)
+      corpus0, packed, miner, bpe)
   }
 
   /** Per-source funnel over a run: one row per (source, stage) with the

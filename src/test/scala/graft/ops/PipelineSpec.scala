@@ -271,4 +271,45 @@ class PipelineSpec extends AnyFunSuite {
     // defaults elsewhere must not start failing)
     Pipeline.run(docs, Pipeline.Config(splitJaccard = 0.01)).unpersist()
   }
+
+  test("packBpeMerges knob: packs budget in TOKENS of the shipped tokenizer") {
+    // six docs, each six copies of its own word: highly compressible
+    // under BPE (the whole word merges to ~1 token) but ~29 chars long —
+    // a budget of 13 fits TWO docs by tokens yet not even ONE by chars,
+    // so the knob must change the grouping, not just the len column
+    val docs = (1 to 6).map(i =>
+      (i.toLong, Seq.fill(6)(s"w${('a' + i).toChar}x").mkString(" "), "src"))
+      .toDF("doc_id", "text", "source")
+    val cfg = Pipeline.Config(
+      rules = QualityFilter.Rules(minChars = 10, maxRepetitionRatio = 0.9),
+      budget = 13)
+
+    val byChars = Pipeline.run(docs, cfg)
+    val byTokens = Pipeline.run(docs, cfg.copy(packBpeMerges = 20))
+    try {
+      assert(byChars.bpe.isEmpty && byTokens.bpe.isDefined)
+      val model = byTokens.bpe.get
+      val texts = docs.collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      def packs(res: Pipeline.Result): Seq[Seq[Long]] = res.packed
+        .select("seq_ids").collect().map(_.getSeq[Long](0).toSeq).toSeq
+
+      // every token pack respects the TOKEN budget under the exact model
+      // the result ships (recomputed independently via encodeString), or
+      // is a single oversize doc
+      packs(byTokens).foreach { ids =>
+        val tok = ids.map(id => Bpe.encodeString(texts(id), model).length).sum
+        assert(tok <= cfg.budget || ids.size == 1,
+          s"pack $ids holds $tok tokens > ${cfg.budget}")
+      }
+      // both runs ship every kept doc exactly once
+      assert(packs(byTokens).flatten.sorted == (1L to 6L),
+        s"token packs lost docs: ${packs(byTokens)}")
+      assert(packs(byChars).flatten.sorted == (1L to 6L))
+      // chars: 29-char docs never share a 13-budget pack; tokens: they do
+      assert(packs(byChars).forall(_.size == 1))
+      assert(packs(byTokens).exists(_.size > 1),
+        s"token budget never co-packed: ${packs(byTokens)}")
+    } finally { byChars.unpersist(); byTokens.unpersist() }
+  }
 }
