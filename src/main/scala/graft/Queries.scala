@@ -1736,9 +1736,14 @@ object Queries {
     * twice (pair counts and the next round), and inlining would blow up
     * 2^rounds.
     */
-  private val q55Sql: String = {
+  /** The CTE chain (through `tok`) shared by q55 and q60: BPE training
+    * replay (one chained block per merge round) + per-document
+    * re-segmentation to token ids. No leading WITH — q55 prefixes plain
+    * `WITH`, q60 `WITH RECURSIVE` (its packing fold recurses).
+    */
+  private val q55Chain: String = {
     val head =
-      """WITH w AS MATERIALIZED (SELECT w AS word, count(*) AS c FROM (
+      """w AS MATERIALIZED (SELECT w AS word, count(*) AS c FROM (
         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE text IS NOT NULL)
         |  WHERE w <> '' GROUP BY 1),
         |s0 AS MATERIALIZED (SELECT word, c,
@@ -1766,12 +1771,78 @@ object Queries {
          |sub AS (SELECT doc_id, wpos, generate_subscripts(sy, 1) AS spos, unnest(sy) AS sym FROM (
          |    SELECT d.doc_id, d.wpos, string_split(substr(s.seg, 2, len(s.seg) - 2), '||') AS sy
          |    FROM docw d JOIN s$Q55Merges s ON d.word = s.word)),
-         |tok AS (SELECT doc_id, wpos, spos, v.id FROM sub JOIN vocab v USING (sym))
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-         |  string_agg(id, '-' ORDER BY wpos, spos) AS tok_ids
-         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |tok AS (SELECT doc_id, wpos, spos, v.id FROM sub JOIN vocab v USING (sym))""".stripMargin
     (head +: rounds :+ tail).mkString(",\n")
   }
+
+  private val q55Sql: String =
+    s"""WITH $q55Chain
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |  string_agg(id, '-' ORDER BY wpos, spos) AS tok_ids
+       |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Token-budget greedy packing under the SAME trained tokenizer q55
+    * grades — the [[graft.ops.Bpe]] x [[graft.ops.Packing]] composition
+    * `Pipeline.Config.packBpeMerges` ships: every pack item weighs
+    * `size(Bpe.encode(text))`, budget [[Q60Budget]] tokens, (source,
+    * id-range bucket) packing key exactly as q35. The oracle chains the
+    * q55 training replay into q35's recursive greedy fold, so one query
+    * certifies the tokenizer, the token counts, AND the packing
+    * decisions together.
+    */
+  private def q60(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").filter(col("text").isNotNull)
+    val model = graft.ops.Bpe.train(docs, "text", numMerges = Q55Merges)
+    val (src, bucket) = graft.ops.Packing.parseBucketKey(col("group"))
+    graft.ops.Packing.packGreedy(
+        docs.select(col("source"), col("doc_id"),
+            size(graft.ops.Bpe.encode(col("text"), model)).cast("long").as("len"))
+          .withColumn("grp",
+            graft.ops.Packing.bucketKey(col("source"), col("doc_id"), 100L)),
+        "grp", "doc_id", "len", budget = Q60Budget)
+      .select(src.as("source"), bucket.as("bucket"),
+        col("pack_id"), col("n_seqs"),
+        col("total_len").as("total_tok"),
+        array_min(col("seq_ids")).as("min_id"),
+        array_max(col("seq_ids")).as("max_id"))
+      .orderBy(col("source"), col("bucket"), col("pack_id"))
+  }
+
+  private val Q60Budget = 512
+
+  /** The q55 replay chain + q35's recursive greedy fold, over TOKEN
+    * counts. `ntok`/`d2` are MATERIALIZED — the recursive member
+    * references `d2` every round, and an inlined reference would re-run
+    * the whole 24-round training replay per recursion step (the
+    * round-6 exponential-inlining lesson, one level up).
+    */
+  private val q60Sql: String =
+    s"""WITH RECURSIVE $q55Chain,
+       |ntok AS MATERIALIZED (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY 1),
+       |d2 AS MATERIALIZED (
+       |  SELECT dd.source, CAST(dd.doc_id // 100 AS BIGINT) AS bucket, dd.doc_id,
+       |    coalesce(n.n_tok, 0) AS n_tok,
+       |    row_number() OVER (PARTITION BY dd.source, dd.doc_id // 100
+       |                       ORDER BY dd.doc_id) AS rn
+       |  FROM documents dd LEFT JOIN ntok n USING (doc_id)
+       |  WHERE dd.text IS NOT NULL),
+       |g AS (
+       |  SELECT source, bucket, rn, doc_id, n_tok AS len,
+       |         CAST(0 AS BIGINT) AS pack_id, n_tok AS acc
+       |  FROM d2 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d2.source, d2.bucket, d2.rn, d2.doc_id, d2.n_tok,
+       |    CASE WHEN g.acc >= $Q60Budget OR g.acc + d2.n_tok > $Q60Budget
+       |         THEN g.pack_id + 1 ELSE g.pack_id END,
+       |    CASE WHEN g.acc >= $Q60Budget OR g.acc + d2.n_tok > $Q60Budget
+       |         THEN d2.n_tok ELSE g.acc + d2.n_tok END
+       |  FROM g JOIN d2 ON d2.source = g.source AND d2.bucket = g.bucket
+       |               AND d2.rn = g.rn + 1)
+       |SELECT source, bucket, pack_id, CAST(count(*) AS BIGINT) AS n_seqs,
+       |  CAST(sum(len) AS BIGINT) AS total_tok,
+       |  min(doc_id) AS min_id, max(doc_id) AS max_id
+       |FROM g GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   /** Real audio decode ([[graft.ops.Multimodal.AudioWavDecoder]] —
     * `javax.sound.sampled`, in the JDK, no sound device): every document
@@ -2078,6 +2149,7 @@ object Queries {
     "q56_audio_decode"     -> QueryDef(q56, Some(q56Sql)),
     "q57_lm_perplexity"    -> QueryDef(q57, Some(q57Sql)),
     "q58_langid_ct"        -> QueryDef(q58, Some(q58Sql)),
-    "q59_url_canon"        -> QueryDef(q59, Some(q59Sql))
+    "q59_url_canon"        -> QueryDef(q59, Some(q59Sql)),
+    "q60_token_packing"    -> QueryDef(q60, Some(q60Sql))
   )
 }

@@ -68,7 +68,7 @@ object PlanCheck {
       "q49_corpus_diff", "q50_dedup_cut", "q51_boilerplate",
       "q52_calibration", "q53_drift_ks", "q54_chunking",
       "q55_bpe_tokenizer", "q56_audio_decode", "q57_lm_perplexity",
-      "q58_langid_ct", "q59_url_canon")
+      "q58_langid_ct", "q59_url_canon", "q60_token_packing")
     round56.foreach { name =>
       println(s"==== round 5/6 graded: $name ====")
       Queries.defs.toMap.apply(name).fn(spark, "/root/testdata/sf0.001")
