@@ -47,6 +47,7 @@ class CodegenForcedSpec extends AnyFunSuite {
       UrlOps.canonicalizeUrl(concat(lit("HTTP://WWW.Ex.COM:80/p?utm_x=1&q="),
         col("text"))).as("canon"),
       map_entries(CtLangId.ngramCounts(col("text"), 3)).as("ngc"),
+      map_entries(NgramLm.wordNgramCounts(col("text"), 2)).as("wng"),
       UrlOps.registrableDomain(lit("http://a.b.site.co.uk/x")).as("dom"),
       TextOps.charClassCounts(col("text")).as("census"),
       ColumnsForTest.cutSpans(col("text"), spans).as("cut"),

@@ -38,9 +38,13 @@ class NgramLmSpec extends AnyFunSuite {
   }
 
   test("distributed train == driver train; column stats == driver scoring") {
-    val ref = Seq("the cat sat", "the cat ran", "a cat sat").toDF("text")
-    val local = NgramLm.trainFromDocs(
-      Seq("the cat sat", "the cat ran", "a cat sat"))
+    // edge docs exercise the native WordNgramCounts walk: multi-space
+    // runs, leading/trailing spaces (adjacency AFTER the empty-drop),
+    // a single word (no bigram), an empty and an all-space doc
+    val corpus = Seq("the cat sat", "the cat ran", "a cat sat",
+      "  the   cat  sat ", "lone", "", "   ")
+    val ref = corpus.toDF("text")
+    val local = NgramLm.trainFromDocs(corpus)
     val dist = NgramLm.train(ref, "text")
     assert(dist.unigrams == local.unigrams)
     assert(dist.bigrams == local.bigrams)
