@@ -84,6 +84,15 @@ object Bench {
     // q40 itself is in the set); the JSON line keeps its shape.
     val onlySet: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name must fail LOUDLY: this mode exists to produce
+    // trusted standalone numbers, and an unmatched filter would emit a
+    // clean-looking JSON line for a measurement that never ran
+    onlySet.foreach { names =>
+      val known = Queries.defs.map(_._1).toSet
+      val bad = names.diff(known)
+      require(bad.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in Queries.defs: ${bad.mkString(",")}")
+    }
 
     // validation-suite throughput over synthesized sequences. 8M rows
     // (~3 GB parquet) so per-job fixed costs (codegen compile, AQE stage

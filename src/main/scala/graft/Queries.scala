@@ -1775,11 +1775,21 @@ object Queries {
     (head +: rounds :+ tail).mkString(",\n")
   }
 
+  /** LEFT JOIN from the doc set: a non-null text with no words (all
+    * spaces) encodes to ZERO tokens — the Spark side still emits its
+    * (n_tok=0, tok_ids='') row, so the oracle must not drop the doc
+    * just because `tok` holds no rows for it (review finding, round 6;
+    * q60's fold guards the same case with its coalesce).
+    */
   private val q55Sql: String =
-    s"""WITH $q55Chain
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-       |  string_agg(id, '-' ORDER BY wpos, spos) AS tok_ids
-       |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    s"""WITH $q55Chain,
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |    string_agg(id, '-' ORDER BY wpos, spos) AS tok_ids
+       |  FROM tok GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_tok, 0) AS n_tok,
+       |  coalesce(a.tok_ids, '') AS tok_ids
+       |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+       |LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** Token-budget greedy packing under the SAME trained tokenizer q55
     * grades — the [[graft.ops.Bpe]] x [[graft.ops.Packing]] composition

@@ -135,27 +135,8 @@ case class CtNgramCounts(child: Expression, n: Int)
 }
 
 object CtNgramCounts {
-  def compute(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.MapData = {
-    val s = text.toString
-    val counts = new java.util.LinkedHashMap[String, Integer]()
-    var i = 0
-    while (i + n <= s.length) {
-      counts.merge(s.substring(i, i + n), 1, (a, b) => a + b)
-      i += 1
-    }
-    val keys = new Array[Any](counts.size())
-    val vals = new Array[Any](counts.size())
-    var j = 0
-    val it = counts.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      keys(j) = UTF8String.fromString(e.getKey)
-      vals(j) = e.getValue.intValue()
-      j += 1
-    }
-    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
-      new GenericArrayData(keys), new GenericArrayData(vals))
-  }
+  def compute(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.MapData =
+    NgramWalk.toMapData(NgramWalk.charNgramCounts(text.toString, n))
 }
 
 /** Native top-k character-n-gram profile: one walk + one small sort per
@@ -189,18 +170,14 @@ case class CtProfile(child: Expression, n: Int, k: Int)
 
 object CtProfile {
   def compute(text: UTF8String, n: Int, k: Int): ArrayData = {
-    val s = text.toString
-    val counts = new java.util.HashMap[String, Integer]()
-    var i = 0
-    while (i + n <= s.length) {
-      counts.merge(s.substring(i, i + n), 1, (a, b) => a + b)
-      i += 1
-    }
+    val counts = NgramWalk.charNgramCounts(text.toString, n)
     val entries = new java.util.ArrayList[java.util.Map.Entry[String, Integer]](
       counts.entrySet())
     entries.sort { (a, b) =>
       val c = Integer.compare(b.getValue, a.getValue)
-      if (c != 0) c else a.getKey.compareTo(b.getKey)
+      // codepoint order, not String.compareTo's UTF-16 order — the tie
+      // the trained profiles and the DuckDB oracle break the same way
+      if (c != 0) c else NgramWalk.compareCodePoints(a.getKey, b.getKey)
     }
     val m = math.min(k, entries.size())
     val out = new Array[Any](m)

@@ -184,19 +184,7 @@ object WordNgramCounts {
       counts.merge(sb.toString, 1, (a, b) => a + b)
       k += 1
     }
-    val keys = new Array[Any](counts.size())
-    val vals = new Array[Any](counts.size())
-    var p = 0
-    val it = counts.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      keys(p) = UTF8String.fromString(e.getKey)
-      vals(p) = e.getValue.intValue()
-      p += 1
-    }
-    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
+    NgramWalk.toMapData(counts)
   }
 }
 

@@ -47,7 +47,11 @@ class CtLangIdSpec extends AnyFunSuite {
   }
 
   test("ngramCounts native == composed ngramArray counting (the training generator)") {
-    val docs = Seq("ababa xx", "zz", "", "abc").toDF("text")
+    // the two emoji docs are non-BMP: Spark substr/length count
+    // CODEPOINTS, so the native walk must too — a UTF-16 walk would
+    // split the surrogate pairs into malformed keys (round-6 review)
+    val docs = Seq("ababa xx", "zz", "", "abc",
+      "😀😀a", "a😀b😁cd").toDF("text")
     val native = docs.select(explode(CtLangId.ngramCounts(col("text"), 3))
         .as(Seq("g", "c")))
       .groupBy("g").agg(sum("c").as("c"))
