@@ -1856,9 +1856,11 @@ object Queries {
 
   /** Real audio decode ([[graft.ops.Multimodal.AudioWavDecoder]] —
     * `javax.sound.sampled`, in the JDK, no sound device): every document
-    * becomes a synthesized 8-bit PCM WAV whose samples ARE the text
-    * bytes, so DuckDB replays every decoded statistic exactly from the
-    * characters; every 97th payload is absent (n_bytes 0) and every 89th
+    * becomes a synthesized 8-bit PCM WAV whose samples are the text's
+    * US_ASCII bytes — one byte per CODEPOINT, '?' (63) replacing each
+    * non-ASCII codepoint — so DuckDB replays every decoded statistic
+    * exactly from a per-codepoint ord() walk on any corpus; every 97th
+    * payload is absent (n_bytes 0) and every 89th
     * is the raw text (no RIFF magic -> deterministic decode failure with
     * n_bytes = payload length) — the two error-channel flavors graded
     * apart. Sample rate varies by doc (8/12/16 kHz) to grade the
@@ -1872,7 +1874,13 @@ object Queries {
       val bytes =
         if (id % 97 == 3) null
         else if (id % 89 == 7) text.getBytes("UTF-8")
-        else Multimodal.wavFromBytes(text.getBytes("UTF-8"),
+        // WAV samples: US_ASCII bytes — exactly ONE byte per CODEPOINT
+        // ('?' = 63 replaces each non-ASCII codepoint), so the DuckDB
+        // oracle's per-codepoint ord(text[i]) walk counts and values the
+        // same samples on any corpus (UTF-8 would emit 2-4 bytes per
+        // non-ASCII codepoint the oracle cannot see; round-6 review)
+        else Multimodal.wavFromBytes(
+          text.getBytes(java.nio.charset.StandardCharsets.US_ASCII),
           (8000 + (id % 3) * 4000).toInt)
       (id, "audio", bytes)
     }.toDF("media_id", "kind", "bytes")
@@ -1890,13 +1898,14 @@ object Queries {
   }
 
   private val q56Sql =
-    """WITH d AS (SELECT doc_id, text, strlen(text) AS nb,
+    """WITH d AS (SELECT doc_id, text, strlen(text) AS nb, len(text) AS na,
       |    CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sr,
       |    doc_id % 97 = 3 AS absent,
       |    doc_id % 97 <> 3 AND doc_id % 89 = 7 AS rawtext
       |  FROM documents WHERE text IS NOT NULL),
       |s AS (SELECT doc_id,
-      |    unnest(list_transform(range(1, len(text) + 1), i -> ord(text[i]))) AS v
+      |    unnest(list_transform(range(1, len(text) + 1),
+      |      i -> CASE WHEN ord(text[i]) > 127 THEN 63 ELSE ord(text[i]) END)) AS v
       |  FROM d WHERE NOT absent AND NOT rawtext),
       |a AS (SELECT doc_id, count(*) AS n,
       |    max(abs(v - 128)) AS peak,
@@ -1906,7 +1915,7 @@ object Queries {
       |  FROM s GROUP BY 1)
       |SELECT d.doc_id AS media_id,
       |  NOT (absent OR rawtext) AS ok,
-      |  CAST(CASE WHEN absent THEN 0 WHEN rawtext THEN nb ELSE 44 + nb END AS BIGINT) AS n_bytes,
+      |  CAST(CASE WHEN absent THEN 0 WHEN rawtext THEN nb ELSE 44 + na END AS BIGINT) AS n_bytes,
       |  CAST(CASE WHEN absent OR rawtext THEN 0 ELSE sr END AS BIGINT) AS sample_rate,
       |  CAST(CASE WHEN absent OR rawtext THEN 0 ELSE 1 END AS BIGINT) AS channels,
       |  CAST(coalesce(CASE WHEN absent OR rawtext THEN 0 ELSE a.n END, 0) AS BIGINT) AS n_samples,
@@ -2030,7 +2039,8 @@ object Queries {
       when(pmod(d, lit(3)) === 0,
           when(pmod(d, lit(2)) === 0, lit(":80")).otherwise(lit(":443")))
         .when(pmod(d, lit(3)) === 1, lit(":8080")).otherwise(lit("")),
-      lit("/Docs/"), pmod(d, lit(7)).cast("string"),
+      when(pmod(d, lit(17)) === 2, lit("")) // path-less: query follows host
+        .otherwise(concat(lit("/Docs/"), pmod(d, lit(7)).cast("string"))),
       when(pmod(d, lit(11)) === 5, lit(""))
         .otherwise(concat(lit("?utm_source=feed&id="), d.cast("string"),
           lit("&fbclid=abc&ref=tw&q=OK"))),
@@ -2050,7 +2060,7 @@ object Queries {
       |    upper(source) || (CASE WHEN doc_id % 5 = 0 THEN '.CO.UK' ELSE '.COM' END) ||
       |    (CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
       |          WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
-      |    '/Docs/' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 17 = 2 THEN '' ELSE '/Docs/' || CAST(doc_id % 7 AS VARCHAR) END) ||
       |    (CASE WHEN doc_id % 11 = 5 THEN ''
       |          ELSE '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&fbclid=abc&ref=tw&q=OK' END) ||
       |    (CASE WHEN doc_id % 13 = 4 THEN '#Sec2' ELSE '' END) AS url
@@ -2060,10 +2070,16 @@ object Queries {
       |    CASE WHEN contains(s, '://') THEN lower(split_part(s, '://', 1)) ELSE '' END AS scheme,
       |    CASE WHEN contains(s, '://') THEN substr(s, strpos(s, '://') + 3) ELSE s END AS rest
       |  FROM c1),
-      |c3 AS (SELECT doc_id, hs, scheme,
-      |    CASE WHEN contains(rest, '/') THEN left(rest, strpos(rest, '/') - 1) ELSE rest END AS auth0,
-      |    CASE WHEN contains(rest, '/') THEN substr(rest, strpos(rest, '/')) ELSE '' END AS pathq
+      |c3a AS (SELECT doc_id, hs, scheme, rest,
+      |    CASE WHEN strpos(rest, '/') > 0 AND strpos(rest, '?') > 0
+      |         THEN least(strpos(rest, '/'), strpos(rest, '?'))
+      |         WHEN strpos(rest, '/') > 0 THEN strpos(rest, '/')
+      |         ELSE strpos(rest, '?') END AS cut
       |  FROM c2),
+      |c3 AS (SELECT doc_id, hs, scheme,
+      |    CASE WHEN cut > 0 THEN left(rest, cut - 1) ELSE rest END AS auth0,
+      |    CASE WHEN cut > 0 THEN substr(rest, cut) ELSE '' END AS pathq
+      |  FROM c3a),
       |c4 AS (SELECT doc_id, hs, scheme, pathq,
       |    CASE WHEN starts_with(lower(auth0), 'www.') THEN substr(lower(auth0), 5) ELSE lower(auth0) END AS h1
       |  FROM c3),

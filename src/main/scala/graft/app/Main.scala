@@ -414,15 +414,20 @@ object Main {
             s"${cnt(graft.streaming.StreamingPipeline.rejectsPath(statePath))} rejected " +
             s"(state at $statePath)")
           // deployment-lifetime funnel (round 6): per-stage totals across
-          // all batches, the streaming twin of `pipeline --funnel`
-          scala.util.Try {
+          // all batches, the streaming twin of `pipeline --funnel`.
+          // Explicit absence check, not a swallow-everything Try: a
+          // pre-round-6 state simply HAS no funnel dir, but a corrupted
+          // one must error loudly, not silently print nothing
+          val funnelDir = graft.streaming.StreamingPipeline.funnelPath(statePath)
+          val ffs = new org.apache.hadoop.fs.Path(funnelDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (graft.streaming.StateFs.nonEmptyDir(ffs, funnelDir))
             graft.streaming.StreamingPipeline.funnelTotals(spark, statePath)
               .groupBy(col("stage_idx"), col("stage"))
               .agg(sum(col("n_docs")).as("n"))
               .orderBy(col("stage_idx"))
               .collect()
               .foreach(r => println(f"  funnel ${r.getString(1)}%-12s ${r.getLong(2)}%d"))
-          }
         }
 
       case other => sys.error(s"unknown command '$other' (want $commands)")

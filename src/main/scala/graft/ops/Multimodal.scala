@@ -255,7 +255,10 @@ object Multimodal {
       if (!pcm || (bits != 8 && bits != 16) || fmt.getChannels <= 0 ||
           fmt.getSampleRate <= 0) return None
       val claimed = aff.getFrameLength.toLong
-      if (claimed > MaxFrames) return None
+      // -1 = NOT_SPECIFIED: a header that HIDES its frame count routes
+      // to the error channel per the documented contract (the mid-read
+      // cap alone would bound CPU but silently misclassify the payload)
+      if (claimed < 0 || claimed > MaxFrames) return None
 
       val stream = AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -406,7 +409,10 @@ object Multimodal {
             else AudioWavDecoder.decodeStats(m.bytes) match {
               case Some(s) => AudioFeature(m.media_id, m.kind,
                 m.bytes.length, ok = true, s.sampleRate, s.channels, s.bits,
-                s.nFrames, s.durationMs, s.peak, s.clip, s.sumAbs, s.sumSq)
+                // n_samples = frames x channels (sum_abs/sum_sq pool ALL
+                // channels, so rms = sqrt(sum_sq/n_samples) needs the
+                // pooled count; duration stays frame-based). Mono-equal.
+                s.nSamples, s.durationMs, s.peak, s.clip, s.sumAbs, s.sumSq)
               case None => fail(m.bytes.length)
             }
           }

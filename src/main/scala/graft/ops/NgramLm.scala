@@ -193,7 +193,7 @@ final class LmRuntime(model: NgramLm.Model) extends Serializable {
   val uni = new java.util.HashMap[String, java.lang.Long]()
   model.unigrams.foreach { case (w, c) => uni.put(w, c) }
   val bi = new java.util.HashMap[String, java.lang.Long]()
-  model.bigrams.foreach { case ((p, w), c) => bi.put(p + ' ' + w, c) }
+  model.bigrams.foreach { case ((p, w), c) => bi.put(p + '\u0000' + w, c) }
   val n: Double = model.totalTokens.toDouble
   val v: Double = model.vocabSize.toDouble
 }
@@ -259,7 +259,7 @@ object LmStats {
             val c = if (cu == null) 0.0 else cu.doubleValue()
             ll += math.log((c + 1.0) / (rt.n + rt.v))
           } else {
-            val cb = rt.bi.get(prev + ' ' + w)
+            val cb = rt.bi.get(prev + '\u0000' + w)
             val cp = rt.uni.get(prev)
             val cbd = if (cb == null) 0.0 else cb.doubleValue()
             val cpd = if (cp == null) 0.0 else cp.doubleValue()

@@ -42,6 +42,22 @@ private[ops] object NgramWalk {
     counts
   }
 
+  /** The string's codepoints, each as its own String (a surrogate PAIR
+    * stays one symbol — `w.map(_.toString)` would split it in two).
+    */
+  def codePointStrings(s: String): Array[String] = {
+    val out = new Array[String](s.codePointCount(0, s.length))
+    var i = 0
+    var c = 0
+    while (i < s.length) {
+      val j = i + Character.charCount(s.codePointAt(i))
+      out(c) = s.substring(i, j)
+      i = j
+      c += 1
+    }
+    out
+  }
+
   /** Codepoint-order string comparison (UTF-8 binary order). */
   def compareCodePoints(a: String, b: String): Int = {
     var i = 0

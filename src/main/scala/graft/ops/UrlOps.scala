@@ -79,9 +79,17 @@ object UrlOps {
     val si = s.indexOf("://")
     val scheme = if (si >= 0) s.substring(0, si).toLowerCase(Locale.ROOT) else ""
     val rest = if (si >= 0) s.substring(si + 3) else s
+    // the authority ends at the first '/' OR '?': a path-less query URL
+    // ("http://a.com?x=1") must not fold its query into the host, where
+    // it would be lowercased and escape tracking-param removal
     val slash = rest.indexOf('/')
-    val auth0 = if (slash >= 0) rest.substring(0, slash) else rest
-    val pathq = if (slash >= 0) rest.substring(slash) else ""
+    val qmark = rest.indexOf('?')
+    val cut =
+      if (slash < 0) qmark
+      else if (qmark < 0) slash
+      else math.min(slash, qmark)
+    val auth0 = if (cut >= 0) rest.substring(0, cut) else rest
+    val pathq = if (cut >= 0) rest.substring(cut) else ""
     var host = auth0.toLowerCase(Locale.ROOT)
     if (host.startsWith("www.")) host = host.substring(4)
     if (scheme == "http" && host.endsWith(":80"))
@@ -121,9 +129,11 @@ object UrlOps {
     val suf2 = ls(nl - 2) + "." + ls(nl - 1)
     if (Suffixes2.contains(suf2)) {
       if (nl >= 3) ls(nl - 3) + "." + suf2 else host
-    } else if (Suffixes1.contains(ls(nl - 1))) {
-      suf2
-    } else suf2 // unknown TLD: last two labels
+    } else suf2 // one-label suffix (known or unknown TLD): last two labels
+    // Suffixes1 documents the one-label tier of the PSL stand-in; only
+    // the two-label tier changes the label count, so swapping in the
+    // real public-suffix list means replacing Suffixes2 (and adding
+    // longer tiers), not branching on Suffixes1
   }
 }
 

@@ -61,6 +61,20 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("non-BMP text: symbols are CODEPOINTS, never split surrogate pairs") {
+    // base alphabet in codepoint order: 'x' (0x78) sorts BELOW the emoji
+    // (0x1F600) — String order would have ranked the surrogate first —
+    // and the emoji stays ONE symbol (a UTF-16 walk would seed two
+    // malformed lone-surrogate symbols; round-6 review finding)
+    val m = Bpe.trainFromCounts(Seq(("😀x", 2L)), 2)
+    assert(m.nBase == 2)
+    assert(m.vocab("x") == 0 && m.vocab("😀") == 1)
+    assert(m.vocab("😀x") == 2) // the one merge
+    assert(Bpe.encodeString("😀x", m).toSeq == Seq(2))
+    assert(Bpe.encodeString("😀", m).toSeq == Seq(1))
+    assert(Bpe.encodeString("x 😀x x", m).toSeq == Seq(0, 2, 0))
+  }
+
   test("unseen characters encode as UnkId; empty words are skipped") {
     val m = Bpe.trainFromCounts(Seq(("ab", 2L)), 1)
     assert(Bpe.encodeString("ab zb", m).toSeq ==

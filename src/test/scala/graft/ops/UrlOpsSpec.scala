@@ -34,6 +34,12 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(c("WWW.A.com/X?utm_k=1") == "a.com/X")
     // no path at all
     assert(c("HTTPS://B.ORG") == "https://b.org")
+    // path-less QUERY: the authority ends at '?', not just '/' — the
+    // query must not fold into the host (where it would be lowercased
+    // and escape tracking removal; round-6 review finding)
+    assert(c("http://Example.com?utm_source=X&id=AbC") ==
+      "http://example.com?id=AbC")
+    assert(c("HTTPS://WWW.B.ORG:443?gclid=1") == "https://b.org")
     // whitespace trim
     assert(c("  http://a.com/x  ") == "http://a.com/x")
   }
