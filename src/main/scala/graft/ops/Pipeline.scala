@@ -378,21 +378,29 @@ object Pipeline {
     * counting `corpus` would drag the order stage's shuffle + per-shard
     * sort + offset join into a counts-only job.
     */
-  def sourceFunnel(res: Result): DataFrame = {
-    val stages = Seq(
+  def sourceFunnel(res: Result): DataFrame =
+    funnelGrid(Seq(
       (1, "scrubbed", res.scrubbed), (2, "exact_dedup", res.exact),
       (3, "near_dedup", res.canonical), (4, "decontaminated", res.kept),
-      (5, "shipped", res.corpusPreOrder))
+      (5, "shipped", res.corpusPreOrder)), gridSource = res.scrubbed)
+
+  /** The (source, stage) survivor grid both funnels share — batch
+    * ([[sourceFunnel]]) and streaming (per batch). COMPLETE over the
+    * sources seen in `gridSource`, explicit zeros, and a NULL-SAFE
+    * source match: a NULL-source row group must match its own grid row,
+    * not read 0 at every stage (EqualTo never matches NULL). One copy so
+    * the next grid/join lesson can't silently miss a funnel.
+    */
+  def funnelGrid(stages: Seq[(Int, String, DataFrame)],
+                 gridSource: DataFrame): DataFrame = {
     val counts = stages.map { case (idx, name, df) =>
       df.groupBy(col("source")).agg(count(lit(1)).as("__n"))
         .withColumn("stage_idx", lit(idx)).withColumn("stage", lit(name))
     }.reduce(_ unionByName _)
-    val spark = res.scrubbed.sparkSession
+    val spark = gridSource.sparkSession
     import spark.implicits._
-    val grid = res.scrubbed.select(col("source")).distinct()
+    val grid = gridSource.select(col("source")).distinct()
       .crossJoin(stages.map(s => (s._1, s._2)).toDF("stage_idx", "stage"))
-    // null-safe on source: a NULL-source row group must match its own
-    // grid row, not read 0 at every stage (EqualTo never matches NULL)
     grid.as("g").join(counts.as("c"),
         col("g.source") <=> col("c.source") &&
           col("g.stage_idx") === col("c.stage_idx"), "left")

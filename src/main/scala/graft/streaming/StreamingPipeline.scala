@@ -292,22 +292,10 @@ object StreamingPipeline {
         // funnel's q-class lessons (EqualTo gives NULL sources 0 at
         // every stage; a missing grid row reads as "never seen").
         locally {
-          val stages = Seq((0, "input", batch), (1, "scrubbed", clean),
-            (2, "exact_dedup", afterExact), (3, "near_dedup", kept))
-          val counts = stages.map { case (i, n, df) =>
-            df.groupBy(col("source")).agg(count(lit(1)).as("__n"))
-              .withColumn("stage_idx", lit(i)).withColumn("stage", lit(n))
-          }.reduce(_ unionByName _)
-          val sess = batch.sparkSession
-          import sess.implicits._
-          val grid = batch.select(col("source")).distinct()
-            .crossJoin(stages.map(s => (s._1, s._2)).toSeq
-              .toDF("stage_idx", "stage"))
-          val funnelRows = grid.as("g").join(counts.as("c"),
-              col("g.source") <=> col("c.source") &&
-                col("g.stage_idx") === col("c.stage_idx"), "left")
-            .select(col("g.source"), col("g.stage_idx"), col("g.stage"),
-              coalesce(col("c.__n"), lit(0L)).as("n_docs"))
+          val funnelRows = graft.ops.Pipeline.funnelGrid(
+            Seq((0, "input", batch), (1, "scrubbed", clean),
+              (2, "exact_dedup", afterExact), (3, "near_dedup", kept)),
+            gridSource = batch)
           writeBatchDir(funnelRows,
             s"${funnelPath(statePath)}/batch_id=$batchId")
         }
