@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Connected components over an undirected pair list — the cluster-forming
   * step of a dedup pipeline (near-dup PAIRS from [[Dedup]] become dedup
@@ -25,6 +24,120 @@ import org.apache.spark.storage.StorageLevel
   */
 object Components {
 
+  /** Open-addressing long->long map for the per-partition union-find —
+    * primitive arrays (no per-entry boxing: a java.util.HashMap costs
+    * ~25x the memory and defeats the point of bounding contraction
+    * state). Power-of-two capacity, linear probing; Long.MinValue is the
+    * empty-slot sentinel with a dedicated side slot so every long key is
+    * representable.
+    */
+  private final class LongLongMap(initialCapacity: Int) {
+    private var cap = Integer.highestOneBit(math.max(16, initialCapacity) * 2 - 1) * 2
+    private var keys = Array.fill(cap)(Long.MinValue)
+    private var vals = new Array[Long](cap)
+    private var n = 0
+    private var hasMin = false
+    private var minVal = 0L
+    def size: Int = n + (if (hasMin) 1 else 0)
+    private def idx(k: Long): Int = {
+      var h = k * -7046029254386353131L
+      h ^= h >>> 32
+      var i = (h & (cap - 1)).toInt
+      while (keys(i) != Long.MinValue && keys(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+    def getOrDefault(k: Long, d: Long): Long =
+      if (k == Long.MinValue) { if (hasMin) minVal else d }
+      else { val i = idx(k); if (keys(i) == k) vals(i) else d }
+    def put(k: Long, v: Long): Unit = {
+      if (k == Long.MinValue) { hasMin = true; minVal = v; return }
+      val i = idx(k)
+      if (keys(i) != k) {
+        keys(i) = k; vals(i) = v; n += 1
+        if (n * 2 > cap) grow()
+      } else vals(i) = v
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      cap *= 2; keys = Array.fill(cap)(Long.MinValue); vals = new Array[Long](cap)
+      n = 0
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != Long.MinValue) put(ok(i), ov(i))
+        i += 1
+      }
+    }
+    /** Iterate (key, value) pairs. */
+    def foreachEntry(f: (Long, Long) => Unit): Unit = {
+      if (hasMin) f(Long.MinValue, minVal)
+      var i = 0
+      while (i < keys.length) {
+        if (keys(i) != Long.MinValue) f(keys(i), vals(i))
+        i += 1
+      }
+    }
+  }
+
+  /** Per-partition union-find contraction: replaces each partition's edge
+    * set by the star edges (node -> local component min) of its LOCAL
+    * connected components — no shuffle (mapPartitions), deterministic per
+    * partition. Connectivity is preserved exactly (every input edge's
+    * endpoints share a local root, and shared nodes link stars across
+    * partitions), so the global rounds converge to identical components —
+    * but they start from a graph whose edge count is the number of
+    * non-root nodes per partition instead of the raw pair count, and on
+    * graphs that fit one partition the stars ARE final, so the loop
+    * below converges in a single confirming round instead of O(log^2 n).
+    * This is the standard local-contraction prelude to MapReduce CC
+    * (Kiveris et al. SoCC'14 evaluate exactly this optimization).
+    *
+    * Memory: union-find state is two long arrays over the partition's
+    * distinct node ids. `maxNodes` bounds it (~16 B/node + load factor;
+    * the 8M default caps state at ~256 MB against a 128 MB input split
+    * carrying at most ~8M edges): once the map is full, remaining edges
+    * pass through uncontracted (still canonical) — graceful degradation,
+    * identical results, the global rounds absorb the tail.
+    */
+  private[ops] def localContract(edges: DataFrame, maxNodes: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("u"), col("v")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new LongLongMap(1 << 12)
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrDefault(x, x)
+          while (p != x) {
+            val gp = parent.getOrDefault(p, p)
+            parent.put(x, gp); x = p; p = gp
+          }
+          x
+        }
+        val passThrough = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        it.foreach { case (u, v) =>
+          // a union adds at most one entry (the attached root; path
+          // compression only rewrites nodes that already have entries)
+          if (parent.size >= maxNodes) passThrough += ((u, v))
+          else {
+            val ru = find(u); val rv = find(v)
+            // attach the larger root under the smaller: the surviving
+            // root of every local component is its minimum id. Nodes
+            // that end as roots never enter the map (find defaults to
+            // self) and correctly emit nothing below.
+            if (ru != rv) {
+              if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+            }
+          }
+        }
+        val stars = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        parent.foreachEntry { (node, _) =>
+          val r = find(node)
+          if (r != node) stars += ((node, r))
+        }
+        (stars ++ passThrough).iterator
+      }.toDF("u", "v")
+  }
+
   /** (id, component) for every id appearing in a non-self pair (self-pairs
     * (a, a) are dropped by canonicalization — a node with no real edge
     * belongs to no component), where component is the minimum id of the
@@ -33,7 +146,8 @@ object Components {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50,
-                          reliableCheckpoint: Boolean = false): DataFrame = {
+                          reliableCheckpoint: Boolean = false,
+                          contractMaxNodes: Int = 8 << 20): DataFrame = {
     def truncate(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
@@ -73,9 +187,30 @@ object Components {
         if (r.isNullAt(1)) BigInt(0) else BigInt(r.getDecimal(1).toBigInteger))
     }
 
-    var edges = truncate(canon(pairs.select(
-        col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))))
-    var edgesSig = sig(edges) // carried across rounds: one action per round
+    // pre-filter nulls and self-pairs BEFORE the typed contraction pass
+    // (a null long would silently unbox to 0 inside mapPartitions; canon
+    // used to drop both classes via its u =!= v filter, which is
+    // null-dropping under three-valued logic)
+    val raw = pairs.select(
+        col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+    // local contraction first: the global distinct (and every round after
+    // it) then runs over per-partition star edges instead of raw pairs —
+    // and a graph that fits one partition converges in a single
+    // confirming round. contractMaxNodes <= 0 disables (the pre-round-7
+    // shape).
+    val sc = pairs.sparkSession.sparkContext
+    def labeled[A](desc: String)(f: => A): A = {
+      val prev = sc.getLocalProperty("spark.job.description")
+      sc.setJobDescription(desc)
+      try f finally sc.setJobDescription(prev)
+    }
+    val contracted =
+      if (contractMaxNodes > 0) localContract(raw, contractMaxNodes) else raw
+    var edges = labeled("cc: contract+canon")(truncate(canon(contracted)))
+    // carried across rounds: one action per round
+    var edgesSig = labeled("cc: sig 0")(sig(edges))
 
     var it = 0
     var converged = edgesSig._1 == 0L
@@ -86,9 +221,15 @@ object Components {
       val mins = nbrs.groupBy(col("u"))
         .agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
-      val ls = canon(nbrs.filter(col("v") > col("u"))
+      // ls is auto-canonical WITHOUT a distinct: the emitted pair is
+      // (old v, m) with m = min(neighborhood of u, u) <= u < v, so
+      // u' > v' by construction — and duplicates are harmless downstream
+      // (min-aggregate + the ss distinct are set-semantics), so the
+      // pre-round-7 canon() here paid a whole exchange per round for
+      // nothing
+      val ls = nbrs.filter(col("v") > col("u"))
         .join(mins, "u")
-        .select(col("v").as("u"), col("m").as("v")))
+        .select(col("v").as("u"), col("m").as("v"))
 
       // small-star: every node attaches its smaller-or-equal neighborhood
       // (and itself) to that neighborhood's minimum. ls is canonical
@@ -97,20 +238,21 @@ object Components {
       val ss = canon(
         ls.join(mins2, "u").select(col("v").as("u"), col("m").as("v"))
           .union(mins2.select(col("u"), col("m").as("v"))))
-        .persist(StorageLevel.MEMORY_AND_DISK)
 
-      val ssSig = sig(ss)
-      converged = ssSig == edgesSig
-      edgesSig = ssSig
       // superseded rounds: dropping the `edges` reference is what frees a
       // localCheckpoint'd frame — its blocks belong to the checkpointed
       // RDD and are reclaimed by the ContextCleaner once unreachable
-      // (Dataset.unpersist would be a no-op on it); ss's explicit cache is
-      // released here, and a superseded RELIABLE checkpoint's files are
-      // deleted explicitly (the cleaner never touches them)
+      // (Dataset.unpersist would be a no-op on it); a superseded RELIABLE
+      // checkpoint's files are deleted explicitly (the cleaner never
+      // touches them). The round's two actions both run over the
+      // truncated frame: the checkpoint materializes ss once, the sig
+      // scan reads the materialized blocks (the pre-round-7 shape paid an
+      // extra persist/unpersist cycle for the same two actions).
       val superseded = checkpointFile(edges)
-      edges = truncate(ss)
-      ss.unpersist()
+      edges = labeled(s"cc: round ${it + 1} star")(truncate(ss))
+      val ssSig = labeled(s"cc: round ${it + 1} sig")(sig(edges))
+      converged = ssSig == edgesSig
+      edgesSig = ssSig
       deleteCheckpoint(superseded)
       it += 1
     }

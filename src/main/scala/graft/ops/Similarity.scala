@@ -143,22 +143,37 @@ object Similarity {
     val pruned = Dedup.rhpBuckets(df, vecCol, idCol, planes, tables, seed,
       maxBucket, materialize)
     val l = pruned.value.alias("l"); val r = pruned.value.alias("r")
-    val undirected = l.join(r,
+    // Mirror each bucket-local pair into BOTH directions with one explode
+    // (a union of two selects would embed the join subtree twice — and
+    // with no exchange between join and union, run the bucket join twice).
+    // A pair sharing several tables appears once per shared table; those
+    // duplicates carry bit-identical cosines (same two vectors, same
+    // fold), so instead of a full-width dropDuplicates exchange over the
+    // pair set (the pre-round-7 shape: the candidate volume crossed the
+    // wire twice — once to dedup, once to rank), rank with dense_rank:
+    // duplicate (cosine, neighbor_id) sort keys share a rank, so
+    // dense_rank over the raw mirrored stream equals row_number over the
+    // deduped stream, and the partial WindowGroupLimit (pinned by
+    // PlanSpec) trims to rank <= k per map partition BEFORE the only
+    // exchange. The residual duplicates inside the surviving top-k are
+    // collapsed by a dropDuplicates over <= n*k rows.
+    val mirrored = l.join(r,
         col("l.t") === col("r.t") && col("l.blk") === col("r.blk") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        cosine(col("l.v"), col("r.v")).as("cosine"))
+      .select(explode(array(
+        struct(col("l.id").as("id"), col("r.id").as("neighbor_id"),
+          cosine(col("l.v"), col("r.v")).as("cosine")),
+        struct(col("r.id").as("id"), col("l.id").as("neighbor_id"),
+          cosine(col("l.v"), col("r.v")).as("cosine")))).as("e"))
+      .select(col("e.id").as("id"), col("e.neighbor_id").as("neighbor_id"),
+        col("e.cosine").as("cosine"))
       .filter(rankable(col("cosine")))
-      .dropDuplicates("id_a", "id_b")
-    val directed = undirected
-      .select(col("id_a").as("id"), col("id_b").as("neighbor_id"), col("cosine"))
-      .unionByName(undirected
-        .select(col("id_b").as("id"), col("id_a").as("neighbor_id"), col("cosine")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    pruned.copy(value = directed
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k))
+    pruned.copy(value = mirrored
+      .withColumn("rank", dense_rank().over(w))
+      .filter(col("rank") <= k)
+      .dropDuplicates("id", "neighbor_id"))
   }
 
   /** Session-cache variant of [[bucketedKnnH]]. */

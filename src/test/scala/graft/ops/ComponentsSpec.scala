@@ -55,6 +55,47 @@ class ComponentsSpec extends AnyFunSuite {
     assert(sparkCC(Nil).isEmpty)
   }
 
+  test("contraction parity: random graphs across partition counts") {
+    // the round-7 local union-find contraction must not change results
+    // under ANY input partitioning (stars differ per layout; the final
+    // assignment may not)
+    val rng = new graft.SeededRng(99L)
+    val pairs = Seq.fill(300)((rng.nextLong(80), rng.nextLong(80)))
+      .filter(p => p._1 != p._2)
+    val truth = unionFind(pairs)
+    for (parts <- Seq(1, 3, 8)) {
+      val df = pairs.toDF("a", "b").repartition(parts)
+      val cc = Components.connectedComponents(df, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc == truth, s"parts=$parts")
+    }
+  }
+
+  test("contraction cap: pass-through tail still converges to the truth") {
+    val rng = new graft.SeededRng(7L)
+    val pairs = Seq.fill(200)((rng.nextLong(60), rng.nextLong(60)))
+      .filter(p => p._1 != p._2)
+    val truth = unionFind(pairs)
+    // cap far below the node count: most edges pass through uncontracted
+    val cc = Components.connectedComponents(
+        pairs.toDF("a", "b").repartition(2), "a", "b",
+        contractMaxNodes = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == truth)
+    // and disabling contraction entirely reproduces the same assignment
+    val ccOff = Components.connectedComponents(
+        pairs.toDF("a", "b"), "a", "b", contractMaxNodes = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccOff == truth)
+  }
+
+  test("extreme ids (MinValue sentinel neighborhood) survive contraction") {
+    val pairs = Seq((Long.MinValue, 5L), (5L, Long.MaxValue), (7L, 8L))
+    val cc = sparkCC(pairs)
+    assert(cc == Map(Long.MinValue -> Long.MinValue, 5L -> Long.MinValue,
+      Long.MaxValue -> Long.MinValue, 7L -> 7L, 8L -> 7L))
+  }
+
   test("dupClusters summarizes one row per component") {
     val rows = Components.dupClusters(
         Seq((5L, 3L), (3L, 9L), (100L, 101L)).toDF("a", "b"), "a", "b")
