@@ -1085,7 +1085,9 @@ object Queries {
     // JVMs, which is all a cache key needs
     val fp = java.lang.Integer.toHexString(
       s"${f.getCanonicalPath}|${f.length}|${f.lastModified}".hashCode)
-    s"target/q40-idx-${new java.io.File(dir).getName}-$fp" +
+    // v2: round-7 indexes carry the per-bucket count sidecar — version
+    // the dir so a pre-sidecar index is rebuilt, not probed without it
+    s"target/q40-idx-v2-${new java.io.File(dir).getName}-$fp" +
       s"-k${shingleK}p${perms}b$bands"
   }
 

@@ -459,11 +459,21 @@ object Validator {
   private[graft] def dupStats(df: DataFrame, cfg: SuiteConfig): Option[(Long, Long)] =
     if (!cfg.exactUniqueness) None
     else {
-      // count-only: one pruned column through the exchange (no collect_set
-      // of sources — that's duplicateKeys' report shape)
+      // count-only: the exchange ships TWO independent 64-bit hashes of
+      // the key instead of the key string (the dropExactDuplicates
+      // payload-free shape, guide §2.3 "shuffle keys' metadata"): 16
+      // fixed bytes per row and long-pair hash-agg compares, with joint
+      // collision odds ~2^-128 per pair — negligible at any physical
+      // corpus size. NULL doc_ids: xxhash64 skips null children, so all
+      // nulls share one constant hash pair — exactly how groupBy(doc_id)
+      // groups them (SQL grouping treats NULLs equal), counting as one
+      // duplicated key when 2+ rows; per-source null counts are the
+      // n_null_docid check's job.
       val dups =
         if (cfg.uniquenessHashFirst) duplicateKeysHashFirst(df)
-        else df.select(col("doc_id")).groupBy(col("doc_id"))
+        else df.select(xxhash64(col("doc_id")).as("__h"),
+            graft.ops.Dedup.contentHash2(col("doc_id")).as("__h2"))
+          .groupBy(col("__h"), col("__h2"))
           .agg(count(lit(1)).as("n")).filter(col("n") > 1)
       val r = dups.agg(count(lit(1)).as("k"),
         coalesce(sum(col("n") - 1), lit(0L)).as("extra")).collect()(0)

@@ -44,12 +44,35 @@ object IncrementalDedup {
     * corpus) left stale partitions that probes would happily read —
     * candidate pairs against deleted documents.
     */
+  /** Per-bucket count sidecar location. The underscore prefix keeps the
+    * sidecar invisible to `spark.read.parquet(path)` partition discovery
+    * (Spark skips `_`/`.`-prefixed paths), so index readers are
+    * unaffected by its presence.
+    */
+  private[graft] def countsPath(path: String): String = s"$path/_graft_counts"
+
   def writeIndex(df: DataFrame, textCol: String, idCol: String, path: String,
                  shingleK: Int = 3, perms: Int = 32, bands: Int = 16,
-                 mode: String = "overwrite"): Unit =
+                 mode: String = "overwrite"): Unit = {
+    val spark = df.sparkSession
     signatureRows(df, textCol, idCol, shingleK, perms, bands)
       .write.mode(mode)
       .partitionBy("band").parquet(path)
+    // per-bucket count sidecar: probes need the index's bucket sizes for
+    // the combined-cap decision, and deriving them per probe costs a
+    // second full scan of the index (at warehouse scale: half the probe
+    // I/O). Counts are index METADATA maintained at write time — like a
+    // table format's manifest stats — recomputed from the index's rows
+    // after every write, appends included (a 2-column pruned read of the
+    // index; never a second signature pass over the corpus), and
+    // statically overwritten, so the sidecar always covers every row.
+    // Pre-sidecar indexes simply lack the dir; probes fall back to
+    // deriving counts from the rows.
+    spark.read.parquet(path)
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("ic"))
+      .write.mode("overwrite").parquet(countsPath(path))
+  }
 
   /** The warehouse-scale index layout: the same rows saved as a table
     * BUCKETED (and sorted) by the probe join's exact key set
@@ -98,15 +121,20 @@ object IncrementalDedup {
     */
   private[graft] def candidatePairs(fresh: DataFrame, index: Option[DataFrame],
                                     perms: Int, minJaccard: Double,
-                                    maxBucket: Int): DataFrame = {
+                                    maxBucket: Int,
+                                    indexCounts: Option[DataFrame] = None): DataFrame = {
     val freshCounts = fresh.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("fc"))
     val combined = index match {
       case None => freshCounts.select(col("band"), col("band_hash"),
         col("fc").as("n"))
       case Some(idx) =>
-        val ic = idx.groupBy(col("band"), col("band_hash"))
-          .agg(count(lit(1)).as("ic"))
+        // prefer the build-time count sidecar ((band, band_hash, ic)
+        // rows): deriving ic from the index rows costs a second full
+        // index scan per probe
+        val ic = indexCounts.getOrElse(
+          idx.groupBy(col("band"), col("band_hash"))
+            .agg(count(lit(1)).as("ic")))
         freshCounts.join(ic, Seq("band", "band_hash"), "left")
           .select(col("band"), col("band_hash"),
             (col("fc") + coalesce(col("ic"), lit(0L))).as("n"))
@@ -169,8 +197,16 @@ object IncrementalDedup {
                         materialize: Boolean = true): Cached[DataFrame] = {
     val rows = signatureRows(newDocs, textCol, idCol, shingleK, perms, bands)
     val fresh = if (materialize) rows.persist() else rows
+    // use the build-time count sidecar when this index has one (pre-
+    // sidecar indexes fall back to deriving counts from the rows)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val counts =
+      if (fs.exists(new org.apache.hadoop.fs.Path(countsPath(indexPath))))
+        Some(spark.read.parquet(countsPath(indexPath)))
+      else None
     Cached(candidatePairs(fresh, Some(spark.read.parquet(indexPath)),
-        perms, minJaccard, maxBucket),
+        perms, minJaccard, maxBucket, counts),
       if (materialize) Seq(fresh) else Nil)
   }
 

@@ -67,6 +67,9 @@ object SuiteProfile {
       Validator.duplicateKeys(df)
         .agg(count(lit(1)), coalesce(sum(col("n") - 1), lit(0L))).collect()
     }
+    bestOf("stage_dup_stats") {
+      Validator.dupStats(df, suiteCfg)
+    }
     bestOf("stage_dup_hash_first") {
       Validator.duplicateKeysHashFirst(df)
         .agg(count(lit(1)), coalesce(sum(col("n") - 1), lit(0L))).collect()

@@ -58,6 +58,38 @@ class IncrementalDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("count sidecar matches derived counts; sidecar-less probe falls back identically") {
+    val dir = java.nio.file.Files.createTempDirectory("incdedup4").toString + "/idx"
+    val old = docs(1L -> s"$base one", 2L -> s"$base two", 3L -> other)
+    IncrementalDedup.writeIndex(old, "text", "doc_id", dir)
+    // append must leave the sidecar covering EVERY row (recount + static
+    // overwrite), never just the appended batch
+    IncrementalDedup.writeIndex(docs(4L -> s"$base four"), "text", "doc_id",
+      dir, mode = "append")
+    // band is a partition-dir column: parquet inference reads it back as
+    // IntegerType (CLAUDE.md lesson) — compare via Number
+    def rows3(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Number](0).longValue, r.getLong(1),
+        r.getAs[Number](2).longValue)).toSet
+    val sidecar = rows3(spark.read.parquet(IncrementalDedup.countsPath(dir)))
+    val derived = rows3(spark.read.parquet(dir)
+      .groupBy(col("band"), col("band_hash")).agg(count(lit(1)).as("ic")))
+    assert(sidecar == derived)
+
+    val batch = docs(10L -> s"$base ten")
+    def mined = IncrementalDedup.newDocCandidates(spark, batch,
+        "text", "doc_id", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withSidecar = mined
+    // pre-sidecar index shape: delete the sidecar — the probe must fall
+    // back to deriving counts and return identical candidates
+    val p = new org.apache.hadoop.fs.Path(IncrementalDedup.countsPath(dir))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    assert(mined == withSidecar)
+    assert(withSidecar == Set((1L, 10L), (2L, 10L), (4L, 10L)))
+    spark.catalog.clearCache()
+  }
+
   test("incremental candidates agree with full-corpus mining on the union") {
     val dir = java.nio.file.Files.createTempDirectory("incdedup2").toString + "/idx"
     val old = docs(1L -> s"$base one", 2L -> s"$base two", 3L -> other)
