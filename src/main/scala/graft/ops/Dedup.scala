@@ -325,8 +325,15 @@ object Dedup {
       .unionByName(p.select(col("id_b").as("__pid")))
       .distinct()
     val touched = df.join(ids, col(idCol) === col("__pid"), "left_semi")
+    // persisted: the shingle table feeds BOTH rerank joins (id_a and id_b
+    // sides) — un-persisted it is shingled twice per rerank (two
+    // broadcast builds of the same projection), and every downstream
+    // consumer of the same pair mining (clusters, splits, audits)
+    // re-shingles it again instead of riding the cache. Narrow rows
+    // (id + distinct shingle hashes of pair-touched docs only).
     val sh = touched.select(col(idCol).as("id"),
-      array_distinct(TextOps.shingles(col(textCol), k)).as("sh"))
+        array_distinct(TextOps.shingles(col(textCol), k)).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     Cached(p
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -334,7 +341,7 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))) /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .select(col("id_a"), col("id_b"), col("jaccard")),
-      Seq(p))
+      Seq(p, sh))
   }
 
   /** Session-cache variant of [[ngramJaccardH]]: the persisted pair set

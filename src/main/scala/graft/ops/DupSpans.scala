@@ -64,7 +64,19 @@ object DupSpans {
 
   private def windowsOf(df: DataFrame, textCol: String, idCol: String,
                         windowWords: Int, materialize: Boolean): Cached[DataFrame] = {
-    val w = df.select(col(idCol).as("id"),
+    // unsplittable-input fan-out (guide §2.5): a corpus that arrives as
+    // one sub-split file would run the whole window walk in ONE task;
+    // when the scan plans fewer partitions than the session's default
+    // parallelism, round-robin repartition first. No-op at warehouse
+    // scale (scans plan >= cores splits); results are partition-order
+    // invariant here (counts / min / max / min-struct aggregates only).
+    // SPARK_GRAFT_FANOUT=0 disables (A/B lever).
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val wide =
+      if (!sys.env.get("SPARK_GRAFT_FANOUT").contains("0") &&
+          df.rdd.getNumPartitions < target) df.repartition(target)
+      else df
+    val w = wide.select(col(idCol).as("id"),
       size(split(col(textCol), " ")).as("n_words"),
       posexplode(TextOps.shingles(col(textCol), windowWords))
         .as(Seq("pos", "h")))
