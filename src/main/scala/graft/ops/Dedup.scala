@@ -320,6 +320,11 @@ object Dedup {
     */
   def ngramJaccardH(df: DataFrame, pairs: DataFrame, textCol: String,
                     idCol: String, k: Int = 3): Cached[DataFrame] = {
+    // persist, NOT localCheckpoint: truncating here would shrink each
+    // consumer's analysis tree but breaks cross-query plan-cache
+    // matching on the pair set (checkpoint RDD ids differ per call) —
+    // measured net +2.3 s across the mining family (riders q33/q44/q48
+    // each re-shingle and re-rerank), see OPTIMIZATION_r07.md.
     val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     val ids = p.select(col("id_a").as("__pid"))
       .unionByName(p.select(col("id_b").as("__pid")))

@@ -197,15 +197,36 @@ object IncrementalDedup {
                         materialize: Boolean = true): Cached[DataFrame] = {
     val rows = signatureRows(newDocs, textCol, idCol, shingleK, perms, bands)
     val fresh = if (materialize) rows.persist() else rows
+    // explicit read schemas: the index's row shape is BY CONSTRUCTION the
+    // probe side's (band partition dirs + the signatureRows projection),
+    // so per-call parquet schema inference (footer reads + partition
+    // schema merge across every band dir, repeated each probe) is pure
+    // driver overhead. Partition column `band` reads back as its
+    // inferred IntegerType regardless of declaration — pin it to Integer
+    // so probe plans are identical to the inferred-schema shape.
+    val freshT = fresh.schema.fields.map(f => f.name -> f.dataType).toMap
+    val indexSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("band_hash", freshT("band_hash")),
+      org.apache.spark.sql.types.StructField("id", freshT("id")),
+      org.apache.spark.sql.types.StructField("sig", freshT("sig")),
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType)))
+    val countsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("band_hash", freshT("band_hash")),
+      org.apache.spark.sql.types.StructField("ic",
+        org.apache.spark.sql.types.LongType)))
     // use the build-time count sidecar when this index has one (pre-
     // sidecar indexes fall back to deriving counts from the rows)
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val counts =
       if (fs.exists(new org.apache.hadoop.fs.Path(countsPath(indexPath))))
-        Some(spark.read.parquet(countsPath(indexPath)))
+        Some(spark.read.schema(countsSchema).parquet(countsPath(indexPath)))
       else None
-    Cached(candidatePairs(fresh, Some(spark.read.parquet(indexPath)),
+    Cached(candidatePairs(fresh,
+        Some(spark.read.schema(indexSchema).parquet(indexPath)),
         perms, minJaccard, maxBucket, counts),
       if (materialize) Seq(fresh) else Nil)
   }
