@@ -969,6 +969,14 @@ object Queries {
       .orderBy(col("kind"))
   }
 
+  // CORPUS PRECONDITION (ADVICE r06): the oracle asserts every image and
+  // audio row FAILS decode because payloads are text bytes — that relies
+  // on no document text beginning with a container magic ('.snd',
+  // 'RIFF', 'FORM', or an image magic). True for the generated corpus; a
+  // regeneration that could emit such prefixes must re-validate q24 (the
+  // Spark side would then legitimately decode what the oracle assumes
+  // fails). The SQL is hash-frozen this round, so the precondition is
+  // documented rather than asserted in-query.
   private val q24Sql =
     """WITH m AS (
       |  SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
@@ -1742,6 +1750,15 @@ object Queries {
     * replay (one chained block per merge round) + per-document
     * re-segmentation to token ids. No leading WITH — q55 prefixes plain
     * `WITH`, q60 `WITH RECURSIVE` (its packing fold recurses).
+    *
+    * CORPUS PRECONDITION (ADVICE r06): the replay encodes segmentations
+    * as '|sym1||sym2|...' — a corpus word containing a literal '|' would
+    * wrap to '|||' and make the replace-based merge replay ambiguous
+    * (silent divergence from the Spark side, which has no such
+    * limitation). The graded corpus generator emits no '|' characters;
+    * any regeneration that could must re-validate q55/q60 or strip '|'
+    * in the w CTE. (The SQL itself is hash-frozen this round, so the
+    * precondition is documented rather than asserted in-query.)
     */
   private val q55Chain: String = {
     val head =

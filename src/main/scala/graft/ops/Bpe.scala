@@ -184,16 +184,19 @@ object Bpe {
     BpeEncode.computeIds(text, model.runtime)
 }
 
-/** Executor-side tables: merge ranks keyed `l\u0000r`, vocab symbol -> id,
-  * and a per-thread word -> ids memo (bounded; corpus word reuse makes the
-  * hit rate high, and the memo never crosses threads).
+/** Executor-side tables: merge ranks keyed by the (l, r) PAIR (the
+  * pre-round-7 shape joined `l + NUL + r` into one string key, making
+  * distinct pairs that contain raw NULs collide — web corpora do carry
+  * control bytes; ADVICE r06), vocab symbol -> id, and a per-thread
+  * word -> ids memo (bounded; corpus word reuse makes the hit rate high,
+  * and the memo never crosses threads).
   */
 final class BpeRuntime(model: Bpe.Model) extends Serializable {
-  val ranks = new java.util.HashMap[String, Integer]()
+  val ranks = new java.util.HashMap[(String, String), Integer]()
   val pairs = new Array[(String, String)](model.merges.length)
   model.merges.zipWithIndex.foreach { case ((l, r), i) =>
-    ranks.put(l + '\u0000' + r, i)
     pairs(i) = (l, r)
+    ranks.put(pairs(i), i)
   }
   val vocab = new java.util.HashMap[String, Integer]()
   model.vocab.foreach { case (s, id) => vocab.put(s, id) }
@@ -214,7 +217,7 @@ final class BpeRuntime(model: Bpe.Model) extends Serializable {
       var bestRank = Int.MaxValue
       var k = 0
       while (k < sy.length - 1) {
-        val rk = ranks.get(sy(k) + '\u0000' + sy(k + 1))
+        val rk = ranks.get((sy(k), sy(k + 1)))
         if (rk != null && rk < bestRank) bestRank = rk
         k += 1
       }

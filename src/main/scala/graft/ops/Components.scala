@@ -195,22 +195,38 @@ object Components {
         col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull &&
         col("u") =!= col("v"))
-    // local contraction first: the global distinct (and every round after
-    // it) then runs over per-partition star edges instead of raw pairs —
-    // and a graph that fits one partition converges in a single
-    // confirming round. contractMaxNodes <= 0 disables (the pre-round-7
-    // shape).
     val sc = pairs.sparkSession.sparkContext
     def labeled[A](desc: String)(f: => A): A = {
       val prev = sc.getLocalProperty("spark.job.description")
       sc.setJobDescription(desc)
       try f finally sc.setJobDescription(prev)
     }
-    val contracted =
-      if (contractMaxNodes > 0) localContract(raw, contractMaxNodes) else raw
-    var edges = labeled("cc: contract+canon")(truncate(canon(contracted)))
+    var edges = labeled("cc: canon")(truncate(canon(raw)))
     // carried across rounds: one action per round
     var edgesSig = labeled("cc: sig 0")(sig(edges))
+
+    // SMALL-GRAPH contraction, gated on the MEASURED edge count (the sig
+    // above is computed anyway; a plan-time gate on .rdd partition counts
+    // was measured triggering early AQE stage execution — a full extra
+    // shuffle of the mining tree): when the canonical edge set fits one
+    // task's union-find (<= contractMaxNodes edges, state ~32 B/node,
+    // pass-through past the node cap), a single-task pass computes every
+    // component's final star and the round loop below converges in ONE
+    // confirming round instead of O(log^2 n). Near-dup pair lists are in
+    // this regime even for very large corpora (pairs ~ duplicated
+    // fraction, not corpus size). Past the gate the pass is SKIPPED
+    // outright: measured at 20M scattered edges, per-partition
+    // contraction achieves nothing (a component's edges rarely colocate)
+    // while its typed encode/decode overhead costs 40-60%
+    // (OPTIMIZATION_r07.md). contractMaxNodes <= 0 disables.
+    if (contractMaxNodes > 0 && edgesSig._1 > 0 &&
+        edgesSig._1 <= contractMaxNodes) {
+      val superseded = checkpointFile(edges)
+      edges = labeled("cc: contract")(
+        truncate(canon(localContract(edges.coalesce(1), contractMaxNodes))))
+      edgesSig = labeled("cc: contract sig")(sig(edges))
+      deleteCheckpoint(superseded)
+    }
 
     var it = 0
     var converged = edgesSig._1 == 0L

@@ -110,6 +110,27 @@ class BpeSpec extends AnyFunSuite {
     assert(n == 1)
   }
 
+  test("NUL-bearing symbols keep distinct merge ranks (pair-keyed rank map)") {
+    // the pre-round-7 rank map joined l + NUL + r into one string key, so
+    // merges ("a<NUL>", "b") and ("a", "<NUL>b") collided; the
+    // pair-keyed map must rank them independently. Symbols here contain a
+    // NUL codepoint (written as the backslash-u0000 escape per repo policy).
+    val nul = "\u0000"
+    val model = Bpe.Model(
+      merges = IndexedSeq(("a" + nul) -> "b", "a" -> (nul + "b")),
+      vocab = Map("a" -> 0, "b" -> 1, nul -> 2,
+        ("a" + nul) -> 3, ("a" + nul + "b") -> 4, (nul + "b") -> 5),
+      nBase = 3)
+    val rt = model.runtime
+    assert(rt.ranks.get(("a" + nul, "b")) == 0)
+    assert(rt.ranks.get(("a", nul + "b")) == 1)
+    // encoding "a<NUL>b": symbols [a, NUL, b]; neither merge-0's left
+    // ("a<NUL>") nor its pair exists until ("a",<NUL>) merges — which is
+    // NOT a merge — so only rank-1's ("a", "<NUL>b") could apply after
+    // (<NUL>, b)... which is also not a merge. The word stays 3 symbols.
+    assert(Bpe.encodeString("a" + nul + "b", model).toSeq == Seq(0, 2, 1))
+  }
+
   test("maxWords cap keeps the most frequent words deterministically") {
     val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
     // cap 2 keeps {a x3, b x2}; 'c' drops out -> becomes UNK at encode

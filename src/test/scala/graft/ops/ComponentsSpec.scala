@@ -71,12 +71,13 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
-  test("contraction cap: pass-through tail still converges to the truth") {
+  test("contraction gate and cap: skip path and pass-through tail both converge to the truth") {
     val rng = new graft.SeededRng(7L)
     val pairs = Seq.fill(200)((rng.nextLong(60), rng.nextLong(60)))
       .filter(p => p._1 != p._2)
     val truth = unionFind(pairs)
-    // cap far below the node count: most edges pass through uncontracted
+    // gate NOT met (edge count > contractMaxNodes): contraction skipped,
+    // pure star rounds must still reach the truth
     val cc = Components.connectedComponents(
         pairs.toDF("a", "b").repartition(2), "a", "b",
         contractMaxNodes = 8)
@@ -87,6 +88,13 @@ class ComponentsSpec extends AnyFunSuite {
         pairs.toDF("a", "b"), "a", "b", contractMaxNodes = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ccOff == truth)
+    // gate met but the union-find NODE cap trips mid-pass (a chain has
+    // edges+1 nodes): the pass-through tail + star rounds must absorb it
+    val chain = (0L until 100L).map(i => (i, i + 1))
+    val ccChain = Components.connectedComponents(
+        chain.toDF("a", "b"), "a", "b", contractMaxNodes = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccChain == unionFind(chain))
   }
 
   test("extreme ids (MinValue sentinel neighborhood) survive contraction") {
